@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship extraction query over a deterministic synthetic
+transcripts table (BASELINE.json input_hint schema) at smoke scale.
+``queries``  — one entry per implemented operator (SURVEY.md §2 +
+training-data ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql`` — DuckDB-equivalent SQL per query where expressible;
+Python-kernel / xxhash64 ops are rows-only by design (their exact
+semantics are covered by the reference-parity pytest suite).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make latex_ocr_spark importable on executors regardless of how
+    the driver built this session (--py-files equivalent)."""
+    from latex_ocr_spark.session import _package_zip
+
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added in this context
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract + normalize every math span from a synthetic
+    multi-turn transcript table, stable-ordered (SURVEY.md §7 Phase 1)."""
+    _ship_package(spark)
+    from latex_ocr_spark.operators.extract import extract_spans, with_stable_order
+    from latex_ocr_spark.sources.tables import synth_transcripts
+
+    transcripts = synth_transcripts(spark, 120, parallelism=8)
+    return with_stable_order(extract_spans(transcripts, repartition=8))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from latex_ocr_spark.plans.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from latex_ocr_spark.plans.registry import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale corpus hygiene.
+
+Exact dedup is the reference's memo-cache / set-dedup idiom
+(latex2png.py:137-143, extract_latex.py:74) generalized to tables; the
+near-dup family (jaccard, MinHash+LSH, SimHash) is the standard
+training-data stack, built Spark-first:
+
+- hashes are md5 (identical in Spark and DuckDB → oracle-checkable);
+- shingling/explode/groupBy stay JVM-side; no Python in any hot path;
+- MinHash+LSH is the scale path: candidate generation is a band-key
+  equi-join, never an O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(col: str):
+    """Whitespace tokens with empties removed (JVM-side)."""
+    return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != "")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, canonical_id, dup_count).
+
+    Hash-groupBy with map-side partial aggregation; the canonical row
+    is the minimum id (deterministic under any partitioning).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Distinct (id, shingle) pairs; shingle = n consecutive tokens."""
+    toks = _tokens(text_col)
+    if ngram == 1:
+        sh = toks
+    else:
+        # zip token array against its own shifted slices
+        sh = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (ngram - 1), F.lit(0))),
+            lambda _t, i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]
+            ),
+        )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a_id < b_id, jac ≥ threshold).
+
+    Shingle-inverted-index self-join — the exact baseline the LSH path
+    approximates.  At 100 TB you run :func:`lsh_candidate_pairs` first
+    and this only on the candidates; standalone it is still shuffle-
+    bounded by shingle frequency, not O(n²).
+    """
+    sh = doc_shingles(docs, text_col, id_col, ngram)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_shingles", "a_n"), "a_id")
+        .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_shingles", "b_n"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) MinHash signature per document.
+
+    Hash family: md5(shingle ‖ '#i') — engine-portable and seedless, so
+    the DuckDB oracle reproduces it bit-for-bit.  One explode + one
+    groupBy; partial min aggregation keeps the shuffle narrow.
+    """
+    sh = doc_shingles(docs, text_col, id_col, ngram)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents sharing any band key.
+
+    Bands of ``band_size`` signature slots are hashed to a band key;
+    candidates come from an equi-join on (band_idx, band_key) — the
+    plan is explode → shuffle on the band key → pair — which scales as
+    the number of true near-dups, not as n².
+    """
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col, ngram)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sig.select(
+        "id", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, JVM-side.
+
+    Token hash = xxhash64 (Spark-native, stable across sessions); bit
+    votes aggregated with explode + bit arithmetic.  Not expressible in
+    the DuckDB oracle (different hash family) → rows-only check.
+    """
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    bits = h.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
+    )
+    votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,81 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in-function expressions (whole-stage codegen); the
+rules are deliberately simple, deterministic, and reproducible in ANSI
+SQL so the DuckDB oracle can co-verify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _tokens(col: str):
+    return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != "")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_chars_seen) — whitespace tokenization.
+
+    The BPE-accurate count lives in the tokenizer operator; this is the
+    cheap JVM-side estimate used for gating and bucketing.
+    """
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_seen"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: mean token length, stopword ratio,
+    punctuation ratio, all rounded for engine portability."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n)).otherwise(0.0), 4
+        ).alias("mean_token_len"),
+        F.round(F.when(n > 0, n_stop / n).otherwise(0.0), 4).alias("stopword_ratio"),
+        F.round(
+            F.when(F.length(F.col(text_col)) > 0, n_punct / F.length(F.col(text_col))).otherwise(0.0), 4
+        ).alias("punct_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language heuristic.
+
+    Placeholder ruleset (en/de/es markers, 'und'/'y' words); the value
+    is the *operator shape* — a pure-expression classifier any fastText
+    style model can replace via a pandas UDF without plan changes.
+    """
+    toks = _tokens(text_col)
+    has = lambda w: F.array_contains(toks, w)
+    pred = (
+        F.when(has("und") | has("der") | has("nicht"), "de")
+        .when(has("el") | has("los") | has("y"), "es")
+        .when(has("the") | has("a") | has("of"), "en")
+        .otherwise("unk")
+    )
+    return docs.select(F.col(id_col).cast("long").alias("id"), pred.alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized md5 fingerprint (case-fold + whitespace squeeze) —
+    the canonical key for incremental-crawl dedup joins."""
+    normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.md5(normed).alias("fingerprint"),
+    )

@@ -1,0 +1,663 @@
+"""Named query registry — the operator coverage surface.
+
+Every entry is one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator) expressed twice:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark implementation;
+- ``oracle``             — equivalent ANSI SQL for DuckDB over the same
+  parquet views (None → rows-only check: the op uses Spark-only
+  primitives such as xxhash64 or the Python extraction kernel).
+
+Engine-portability rules used throughout (see tests/test_oracle_parity):
+- DuckDB regex is RE2 (no lookbehind/backreference) — where the
+  reference pattern needs them, the oracle uses a specialization that
+  is equivalent *on the constructed input*;
+- money/count aggregates go through DECIMAL (exact, order-independent)
+  and are cast back to DOUBLE after rounding;
+- every float is rounded to 4 decimals; ranking ties break on ids;
+- md5 is the only hash shared with the oracle; xxhash64 ops are
+  rows-only.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from latex_ocr_spark.operators import dedup as D
+from latex_ocr_spark.operators import similarity as S
+from latex_ocr_spark.operators import textstats as TS
+from latex_ocr_spark.operators.extract import extract_spans, with_stable_order
+from latex_ocr_spark.sources.tables import load_table, synth_transcripts
+from latex_ocr_spark.textkernel.mathfind import RE_DOLLAR, RE_EQUATION
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: Dict[str, QueryFn] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark, sf):
+    return load_table(spark, "documents", sf)
+
+
+def _id():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("doc_id").cast("string")
+
+# ---------------------------------------------------------------------------
+# extraction operators (T6–T12) over text constructed identically in SQL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_dollar_spans",
+    oracle=r"""
+    SELECT doc_id,
+           unnest(regexp_extract_all(
+             'intro $x_' || doc_id || '+1$ mid $$y_' || doc_id || '^2$$ outro \$5',
+             '\${1,2}([^$]+?)\${1,2}', 1)) AS span
+    FROM documents
+    """,
+)
+def x1_dollar_spans(spark, sf):
+    """T6 dollar family — Spark side runs the reference's exact pattern
+    (lookbehind+backreference, extract_latex.py:10); the RE2 oracle is
+    equivalent on this input."""
+    t = F.concat(
+        F.lit("intro $x_"), _id(), F.lit("+1$ mid $$y_"), _id(), F.lit("^2$$ outro \\$5")
+    )
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit(RE_DOLLAR.pattern), 2)).alias("span"),
+    )
+
+
+@register(
+    "x2_inline_spans",
+    oracle=r"""
+    SELECT doc_id,
+           unnest(list_concat(
+             regexp_extract_all('u \(a_' || doc_id || '\) v \[b_' || doc_id || '\] w',
+                                '\\\((.*?)\\\)', 1),
+             regexp_extract_all('u \(a_' || doc_id || '\) v \[b_' || doc_id || '\] w',
+                                '\\\[(.*?)\\\]', 1))) AS span
+    FROM documents
+    """,
+)
+def x2_inline_spans(spark, sf):
+    r"""T6 \( \) / \[ \] family (extract_latex.py:11)."""
+    t = F.concat(F.lit(r"u \(a_"), _id(), F.lit(r"\) v \[b_"), _id(), F.lit(r"\] w"))
+    spans = F.concat(
+        F.regexp_extract_all(t, F.lit(r"\\\((.*?)\\\)"), 1),
+        F.regexp_extract_all(t, F.lit(r"\\\[(.*?)\\\]"), 1),
+    )
+    return _docs(spark, sf).select("doc_id", F.explode(spans).alias("span"))
+
+
+@register(
+    "x3_equation_env_spans",
+    oracle=r"""
+    SELECT doc_id,
+           unnest(regexp_extract_all(
+             'p \begin{equation}e_' || doc_id || '=mc^2\end{equation} q',
+             '\\begin\{equation\}(.*?)\\end\{equation\}', 1)) AS span
+    FROM documents
+    """,
+)
+def x3_equation_env_spans(spark, sf):
+    """T6 equation env (extract_latex.py:12) — Spark uses the reference
+    backreference pattern; RE2 oracle specialized to 'equation'."""
+    t = F.concat(F.lit("p \\begin{equation}e_"), _id(), F.lit("=mc^2\\end{equation} q"))
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit(RE_EQUATION.pattern), 2)).alias("span"),
+    )
+
+
+@register(
+    "x4_label_strip",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             'x_' || doc_id || ' \label{l' || doc_id || '} + \cite{k} - \ref{r} * \eqref{e} y',
+             '\\ref\s?\{(.*?)\}', '', 'g'),
+             '\\cite\s?\{(.*?)\}', '', 'g'),
+             '\\label\s?\{(.*?)\}', '', 'g'),
+             '\\eqref\s?\{(.*?)\}', '', 'g') AS cleaned
+    FROM documents
+    """,
+)
+def x4_label_strip(spark, sf):
+    """T7 label/ref/cite removal (extract_latex.py:17,48-51)."""
+    t = F.concat(
+        F.lit("x_"), _id(), F.lit(" \\label{l"), _id(),
+        F.lit("} + \\cite{k} - \\ref{r} * \\eqref{e} y"),
+    )
+    for name in ("ref", "cite", "label", "eqref"):
+        t = F.regexp_replace(t, r"\\%s\s?\{(.*?)\}" % name, "")
+    return _docs(spark, sf).select("doc_id", t.alias("cleaned"))
+
+
+@register(
+    "x5_spacing_clean",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             '\quad x_' || doc_id || ' + y\quad',
+             '^\\,|\\,$|^~|~$|^\\ |\\ $|^\\quad|\\quad$|^\\qquad|\\qquad$|^\\hfill|\\hfill$',
+             '', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def x5_spacing_clean(spark, sf):
+    """T8 edge-spacing removal + trim (extract_latex.py:15-16,62,73) —
+    anchored alternation subset shared verbatim by both engines."""
+    pat = (
+        r"^\\,|\\,$|^~|~$|^\\ |\\ $|^\\quad|\\quad$|^\\qquad|\\qquad$"
+        r"|^\\hfill|\\hfill$"
+    )
+    t = F.concat(F.lit("\\quad x_"), _id(), F.lit(" + y\\quad"))
+    return _docs(spark, sf).select(
+        "doc_id", F.trim(F.regexp_replace(t, pat, "")).alias("cleaned")
+    )
+
+
+@register(
+    "x6_env_canonicalize",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               '\begin{split}a_' || doc_id || ' &= b \\ c\end{split} and \begin{smallmatrix}p&q\end{smallmatrix}',
+               '\\begin\{split\}(.*?)\\end\{split\}',
+               '\\begin{aligned}\1\\end{aligned}', 'g'),
+             '\\begin\{smallmatrix\}(.*?)\\end\{smallmatrix\}',
+             '\\begin{matrix}\1\\end{matrix}', 'g') AS rewritten
+    FROM documents
+    """,
+)
+def x6_env_canonicalize(spark, sf):
+    """T10 env rewrite (preprocess_formulas.py:64-65) — Spark runs the
+    reference backreference patterns; oracle specialized per env."""
+    t = F.concat(
+        F.lit("\\begin{split}a_"), _id(),
+        F.lit(" &= b \\\\ c\\end{split} and \\begin{smallmatrix}p&q\\end{smallmatrix}"),
+    )
+    t = F.regexp_replace(
+        t,
+        r"\\begin\{(split|align|alignedat|alignat|eqnarray)\*?\}(.+?)\\end\{\1\*?\}",
+        r"\\begin{aligned}$2\\end{aligned}",
+    )
+    t = F.regexp_replace(
+        t,
+        r"\\begin\{(smallmatrix)\*?\}(.+?)\\end\{\1\*?\}",
+        r"\\begin{matrix}$2\\end{matrix}",
+    )
+    return _docs(spark, sf).select("doc_id", t.alias("rewritten"))
+
+
+@register(
+    "x7_opname_collapse",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             'f = \operatorname {sin} (x_' || doc_id || ') + \operatorname {foo} (y)',
+             '\\operatorname \{(arccos|arcsin|arctan|cos|cosh|liminf|limsup|sin|sinh|tan|tanh)\}',
+             '\\\1', 'g') AS collapsed
+    FROM documents
+    """,
+)
+def x7_opname_collapse(spark, sf):
+    """T12 operatorname collapse (preprocess_formulas.py:57-59,86-88)
+    for a whitelist subset; non-whitelisted names survive."""
+    t = F.concat(
+        F.lit("f = \\operatorname {sin} (x_"), _id(),
+        F.lit(") + \\operatorname {foo} (y)"),
+    )
+    t = F.regexp_replace(
+        t,
+        r"\\operatorname \{(arccos|arcsin|arctan|cos|cosh|liminf|limsup|sin|sinh|tan|tanh)\}",
+        r"\\$1",
+    )
+    return _docs(spark, sf).select("doc_id", t.alias("collapsed"))
+
+
+# ---------------------------------------------------------------------------
+# relational operators (F/J/A/W families) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_dim_range",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 40
+      AND l_extendedprice >= 1000 AND l_extendedprice <= 50000
+    """,
+)
+def f1_dim_range(spark, sf):
+    """F1 dimension-range filter (dataset.py:74 analog): conjunctive
+    range predicate, fully pushed to the parquet scan."""
+    li = load_table(spark, "lineitem", sf)
+    return li.filter(
+        (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 40)
+        & (F.col("l_extendedprice") >= 1000)
+        & (F.col("l_extendedprice") <= 50000)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "f5_symbol_filter",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE regexp_matches(props, '[{}_^]')
+    GROUP BY event_type
+    """,
+)
+def f5_symbol_filter(spark, sf):
+    """F5 symbol-presence filter (postprocess.py:11-15 analog)."""
+    ev = load_table(spark, "events", sf)
+    return (
+        ev.filter(F.col("props").rlike("[{}_^]"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f9_token_gate",
+    oracle=r"""
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 5
+    GROUP BY lang
+    """,
+)
+def f9_token_gate(spark, sf):
+    """F9 >5-token gate (preprocess_formulas.py:83)."""
+    docs = _docs(spark, sf)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return (
+        docs.filter(F.size(toks) > 5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "j1_index_equijoin",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_index_equijoin(spark, sf):
+    """J1 the load-bearing equi-join (dataset.py:60) as a star join;
+    small dims broadcast explicitly."""
+    o = load_table(spark, "orders", sf)
+    c = load_table(spark, "customer", sf)
+    n = load_table(spark, "nation", sf)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j2_anti_join(spark, sf):
+    """J2/J3 visited-set anti-join (scraping.py:46, render.py:48-51):
+    customers with no orders."""
+    c = load_table(spark, "customer", sf)
+    o = load_table(spark, "orders", sf)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "j4_union_dedup",
+    oracle="""
+    SELECT doc_id FROM (
+      SELECT doc_id FROM documents WHERE n_chars > 200
+      UNION ALL
+      SELECT doc_id FROM documents WHERE lang = 'en'
+    ) GROUP BY doc_id
+    """,
+)
+def j4_union_dedup(spark, sf):
+    """J4 union+dedup dataset combine (dataset.py:174-187)."""
+    docs = _docs(spark, sf)
+    a = docs.filter(F.col("n_chars") > 200).select("doc_id")
+    b = docs.filter(F.col("lang") == "en").select("doc_id")
+    return a.unionByName(b).dropDuplicates()
+
+
+@register(
+    "a1_vocab_termfreq",
+    oracle=r"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok HAVING count(*) > 50
+    """,
+)
+def a1_vocab_termfreq(spark, sf):
+    """A1 vocab term-frequency with unk-threshold gate
+    (generate_latex_vocab.py:49-71): explode → partial+final hash agg."""
+    docs = _docs(spark, sf)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 50)
+    )
+
+
+@register(
+    "a3_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a3_pricing_summary(spark, sf):
+    """A3 metric-mean rollup shaped as TPC-H Q1 (eval.py:75-83 analog);
+    DECIMAL accumulation keeps sums order-independent."""
+    li = load_table(spark, "lineitem", sf)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(qty), 4).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a5_bucket_sizing",
+    oracle="""
+    SELECT CAST(ceil(n_chars / 100.0) AS INT) AS bucket,
+           count(*) AS n_docs,
+           CAST(floor(count(*) / 16) AS BIGINT) AS n_full_batches
+    FROM documents GROUP BY 1
+    """,
+)
+def a5_bucket_sizing(spark, sf):
+    """A5 bucket sizing: rows per size bucket → full batches of 16
+    (dataset.py:153-157); feeds the salting factor."""
+    docs = _docs(spark, sf)
+    return (
+        docs.withColumn("bucket", F.ceil(F.col("n_chars") / 100.0).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("n_full_batches", F.floor(F.col("n_docs") / 16).cast("long"))
+    )
+
+
+@register(
+    "w2_sorted_corpus",
+    oracle="""
+    SELECT doc_id, text FROM documents ORDER BY text, doc_id LIMIT 50
+    """,
+)
+def w2_sorted_corpus(spark, sf):
+    """W2+W5 sort + limit (extract_latex.py:117, eval.py:73-74)."""
+    return _docs(spark, sf).orderBy("text", "doc_id").select("doc_id", "text").limit(50)
+
+
+@register(
+    "w6_line_numbering",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY doc_id) AS eq_id, doc_id FROM documents
+    """,
+)
+def w6_line_numbering(spark, sf):
+    """W6 line-number assignment (dataset.py:59-60).  Scale note: a
+    global row_number is single-partition; at 100 TB the engine derives
+    ids from (partition_id, local row_number) instead — this query is
+    the semantic contract."""
+    w = Window.orderBy("doc_id")
+    return _docs(spark, sf).select(
+        F.row_number().over(w).cast("long").alias("eq_id"), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf):
+    return D.exact_duplicates(_docs(spark, sf))
+
+
+@register(
+    "dedup_jaccard",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT id, shingle FROM (
+        SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS shingle
+        FROM documents) WHERE shingle <> ''),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = inter.a_id
+    JOIN sizes sb ON sb.id = inter.b_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+    """,
+)
+def dedup_jaccard(spark, sf):
+    return D.jaccard_pairs(_docs(spark, sf), threshold=0.5, ngram=1)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT id, shingle FROM (
+        SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS shingle
+        FROM documents) WHERE shingle <> ''),
+    sig AS (
+      SELECT id,
+             min(md5(shingle || '#0')) AS s0, min(md5(shingle || '#1')) AS s1,
+             min(md5(shingle || '#2')) AS s2, min(md5(shingle || '#3')) AS s3,
+             min(md5(shingle || '#4')) AS s4, min(md5(shingle || '#5')) AS s5,
+             min(md5(shingle || '#6')) AS s6, min(md5(shingle || '#7')) AS s7
+      FROM sh GROUP BY id),
+    keyed AS (
+      SELECT id, 0 AS band_idx, md5(s0 || '|' || s1) AS band_key FROM sig
+      UNION ALL SELECT id, 1, md5(s2 || '|' || s3) FROM sig
+      UNION ALL SELECT id, 2, md5(s4 || '|' || s5) FROM sig
+      UNION ALL SELECT id, 3, md5(s6 || '|' || s7) FROM sig)
+    SELECT DISTINCT a.id AS a_id, b.id AS b_id
+    FROM keyed a JOIN keyed b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh(spark, sf):
+    return D.lsh_candidate_pairs(_docs(spark, sf), num_hashes=8, band_size=2, ngram=1)
+
+
+@register("dedup_simhash")  # xxhash64 — Spark-only, rows-only check
+def dedup_simhash(spark, sf):
+    return D.simhash64(_docs(spark, sf))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+      FROM q, c WHERE q.query_id <> c.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf):
+    emb = load_table(spark, "embeddings", sf)
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register("ann_lsh_topk")  # xxhash64 plane coefficients — rows-only
+def ann_lsh_topk(spark, sf):
+    emb = load_table(spark, "embeddings", sf)
+    return S.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_seen
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf):
+    return TS.token_counts(_docs(spark, sf))
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+             THEN length(regexp_replace(text, '\s+', '', 'g')) / len(toks) ELSE 0.0 END, 4) AS mean_token_len,
+           round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) / len(toks)
+             ELSE 0.0 END, 4) AS stopword_ratio,
+           round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) ELSE 0.0 END, 4) AS punct_ratio
+    FROM t
+    """,
+)
+def text_quality(spark, sf):
+    return TS.quality_scores(_docs(spark, sf))
+
+
+@register(
+    "text_langid",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CASE
+             WHEN list_contains(toks, 'und') OR list_contains(toks, 'der') OR list_contains(toks, 'nicht') THEN 'de'
+             WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') OR list_contains(toks, 'y') THEN 'es'
+             WHEN list_contains(toks, 'the') OR list_contains(toks, 'a') OR list_contains(toks, 'of') THEN 'en'
+             ELSE 'unk'
+           END AS lang_pred
+    FROM t
+    """,
+)
+def text_langid(spark, sf):
+    return TS.lang_id(_docs(spark, sf))
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf):
+    return TS.fingerprints(_docs(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# the flagship extraction pipeline (Python kernel — rows-only check;
+# exact correctness is proven by the reference-parity pytest suite)
+# ---------------------------------------------------------------------------
+
+
+@register("extract_transcripts")
+def extract_transcripts(spark, sf):
+    transcripts = synth_transcripts(spark, 200, parallelism=8)
+    return with_stable_order(extract_spans(transcripts, repartition=8))
