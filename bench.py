@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
+The primary metric is extracted-turns/sec of the flagship extraction
+pipeline (BASELINE.json).
+
+--scaling: run the flagship at two parallelism levels (local[8] vs
+local[32] — the sandbox stand-in for N vs 4N executors) in fresh
+subprocesses and report throughput at both plus scaling efficiency;
+also refreshes BENCH/BASELINE.md.
+
+--single-run --cores N --convs M: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: flagship input size: ~12.4 turns/conv → ~620k turns, the same order
+#: as sf0.1 lineitem (600k rows)
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "50000"))
+
+
+def _noop_write(df) -> int:
+    """Force full materialization without sink cost; returns row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def flagship_turns(spark, n_convs: int) -> int:
+    from latex_ocr_spark.datagen.transcripts import conv_length
+
+    return sum(conv_length(c) for c in range(n_convs))
+
+
+def run_flagship(spark, n_convs: int, parallelism: int) -> float:
+    """Time the extraction pipeline over a *materialized* transcripts
+    table (generation is excluded: it is fixture cost, not engine
+    cost).  The parquet copy is cached across runs in /tmp."""
+    from latex_ocr_spark.operators.extract import extract_spans, with_stable_order
+    from latex_ocr_spark.sources.tables import synth_transcripts
+
+    # fixed 64-way layout so the scan exposes ≥64 splits at every
+    # parallelism level (a file count tied to the writer's cores would
+    # cap the reader's parallelism — see BENCH/BASELINE.md)
+    path = f"/tmp/bench_transcripts_{n_convs}_p64"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_transcripts(spark, n_convs, parallelism=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    transcripts = spark.read.parquet(path)
+    spans = with_stable_order(extract_spans(transcripts))
+    best = None
+    for _attempt in range(2):  # first run pays python-worker spawn
+        t0 = time.time()
+        _noop_write(spans)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+HEADLINE = [
+    "a3_pricing_summary",
+    "j1_index_equijoin",
+    "a1_vocab_termfreq",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_lsh_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+    "x1_dollar_spans",
+]
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from latex_ocr_spark.plans.registry import QUERIES
+    from latex_ocr_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # JVM + codegen warmup so timings measure the engine, not startup
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    flagship_sec = run_flagship(spark, BENCH_CONVS, parallelism=cpus)
+    timings["extract_transcripts"] = round(flagship_sec, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        best = None
+        for _attempt in range(2):  # report warm/steady-state timing
+            t0 = time.time()
+            _noop_write(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    n_turns = flagship_turns(spark, BENCH_CONVS)
+    turns_per_sec = n_turns / flagship_sec
+    return {
+        "metric": "extracted-turns/sec",
+        "value": round(turns_per_sec, 1),
+        "unit": "turns/sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_turns": n_turns,
+        "cpus": cpus,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+
+
+def single_run(cores: int, convs: int) -> None:
+    """Child process: one flagship run at a fixed parallelism."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    from latex_ocr_spark.session import get_spark
+
+    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.range(1000).count()
+    sec = run_flagship(spark, convs, parallelism=cores)
+    n_turns = flagship_turns(spark, convs)
+    print(json.dumps({"cores": cores, "sec": round(sec, 3), "turns": n_turns}))
+
+
+#: scaling-test input: 4× the bench size so per-stage fixed overheads
+#: (~1-2 s) are noise against compute at both parallelism levels
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "200000"))
+
+
+def run_scaling(convs: int) -> dict:
+    """local[8] vs local[32] on identical input: the sandbox stand-in
+    for the N vs 4N executor criterion (BASELINE.md)."""
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run",
+             "--cores", str(cores), "--convs", str(convs)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    thr8 = results[8]["turns"] / results[8]["sec"]
+    thr32 = results[32]["turns"] / results[32]["sec"]
+    eff = (thr32 / thr8) / 4.0
+    return {
+        "metric": "scaling-efficiency-8-to-32",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_local8": round(thr8, 1),
+        "throughput_local32": round(thr32, 1),
+        "sec_local8": results[8]["sec"],
+        "sec_local32": results[32]["sec"],
+        "n_turns": results[8]["turns"],
+    }
+
+
+def _write_baseline_md(scaling: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(
+            "# BENCH baseline — measured on this container\n\n"
+            "Flagship extraction pipeline (synthetic transcripts, "
+            f"{scaling['n_turns']:,} turns) at two parallelism levels on identical\n"
+            "input — the sandbox stand-in for the N vs 4N executor criterion\n"
+            "(BASELINE.json north_rule; see BASELINE.md note).\n\n"
+            "| config | wall sec | turns/sec |\n|---|---|---|\n"
+            f"| local[8] | {scaling['sec_local8']} | {scaling['throughput_local8']:,} |\n"
+            f"| local[32] | {scaling['sec_local32']} | {scaling['throughput_local32']:,} |\n\n"
+            f"**Scaling efficiency 8→32 (per-core): {scaling['value']}** "
+            "(criterion ≥ 0.8)\n\n"
+            "Timings are steady-state (best of two runs; the first run pays\n"
+            "one-time Python-worker spawn + module import per core).\n"
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-run", action="store_true")
+    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--convs", type=int, default=BENCH_CONVS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args.single_run:
+        single_run(args.cores, args.convs)
+        return
+    if args.scaling:
+        convs = args.convs if args.convs != BENCH_CONVS else SCALING_CONVS
+        result = run_scaling(convs)
+        _write_baseline_md(result)
+        print(json.dumps(result))
+        return
+    print(json.dumps(run_bench(args.sf_dir, args.cores)))
+
+
+if __name__ == "__main__":
+    main()

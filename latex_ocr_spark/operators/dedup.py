@@ -160,6 +160,54 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """The production near-dup plan: LSH candidates → exact Jaccard
+    re-check on candidates only.
+
+    Replaces the exact inverted-index self-join whose cost explodes on
+    hot shingles; here the quadratic step is bounded by collisions in
+    2^(128/band) band-key space.  Recall is that of MinHash-LSH
+    (tunable via num_hashes/band_size); precision is exact.
+    """
+    cand = lsh_candidate_pairs(docs, num_hashes, band_size, text_col, id_col, ngram)
+    sh = doc_shingles(docs, text_col, id_col, ngram)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(a, "a_id")
+        .join(b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_shingles", "a_n"),
+            "a_id",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_shingles", "b_n"),
+            "b_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -74,9 +74,18 @@ def shape_uniform_repartition(
 def extract_spans(
     transcripts: DataFrame,
     repartition: Optional[int] = None,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
-    """Extracted math spans, failed turns dropped (reference policy)."""
+    """Extracted math spans, failed turns dropped (reference policy).
+
+    Default plan is shuffle-free: scan partitions stream straight into
+    the Arrow UDF (bytes-per-task balancing from the scan is already
+    cost-proportional for a regex kernel).  Pass ``salt_buckets``/
+    ``repartition`` to interpose the salted shape-uniform exchange —
+    required before the *inference* stage, where batch shape uniformity
+    buys vectorization (the reference's size-bucket batching), and
+    useful when upstream partitions are skewed in row size.
+    """
     spans, _failed = extract_spans_with_failures(
         transcripts, repartition=repartition, salt_buckets=salt_buckets
     )
@@ -86,7 +95,7 @@ def extract_spans(
 def extract_spans_with_failures(
     transcripts: DataFrame,
     repartition: Optional[int] = None,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: Optional[int] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """(spans, failed_turns) pair from one pass over the text.
 

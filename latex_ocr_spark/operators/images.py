@@ -1,0 +1,226 @@
+"""Image-modality operators (I1-I7): opaque binary columns + typed
+metadata, decoded and transformed inside Arrow-batched UDFs.
+
+The container has neither PIL nor cv2, so:
+
+- PNGs are written/probed with a self-contained minimal codec
+  (8-bit grayscale, zlib) — enough for real byte-level plumbing;
+- the preprocessing chain (I1 ``pad``: minmax contrast stretch →
+  threshold-128 polarity normalize → content bounding-box crop →
+  pad-to-÷32 white canvas; semantics of utils/utils.py:101-135) is
+  reimplemented on numpy arrays;
+- general image/audio/video *decode* of foreign formats is stubbed
+  behind NotImplementedError with the Spark-side plumbing (schema,
+  batch shape, bucketing) fully real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# minimal grayscale PNG codec (fixture generation + decode plumbing)
+# ---------------------------------------------------------------------------
+
+
+def encode_png_gray(arr: "np.ndarray") -> bytes:
+    """8-bit grayscale PNG from a (H, W) uint8 array."""
+    h, w = arr.shape
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(png: bytes) -> "np.ndarray":
+    """Inverse of :func:`encode_png_gray` (filter-0 grayscale only);
+    foreign formats are out of scope in this container."""
+    if not png.startswith(_PNG_MAGIC):
+        raise NotImplementedError("non-PNG image decode requires an image library")
+    w, h, depth, ctype = struct.unpack(">IIBB", png[16:26])
+    if depth != 8 or ctype != 0:
+        raise NotImplementedError("only 8-bit grayscale PNGs are decodable here")
+    idat = b""
+    off = 8
+    while off < len(png):
+        (ln,) = struct.unpack(">I", png[off : off + 4])
+        tag = png[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += png[off + 8 : off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = []
+    stride = w + 1
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ftype, data = line[0], np.frombuffer(line[1:], dtype=np.uint8)
+        if ftype == 0:
+            row = data.copy()
+        elif ftype == 2:  # Up filter — tolerated for robustness
+            row = (data + prev).astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter {ftype} unsupported")
+        rows.append(row)
+        prev = row
+    return np.stack(rows)
+
+
+def probe_png_size(png: bytes) -> Optional[Tuple[int, int]]:
+    """(width, height) from the IHDR header without decompression —
+    the imagesize.get probe (dataset.py:73) on raw bytes."""
+    if png is None or len(png) < 24 or not png.startswith(_PNG_MAGIC):
+        return None
+    w, h = struct.unpack(">II", png[16:24])
+    return int(w), int(h)
+
+
+# ---------------------------------------------------------------------------
+# I1 pad(): contrast stretch + polarity + bbox crop + ÷32 pad
+# ---------------------------------------------------------------------------
+
+
+def pad_to_divisible(gray: "np.ndarray", divable: int = 32) -> "np.ndarray":
+    """Reference ``pad`` semantics (utils/utils.py:101-135) on a (H, W)
+    uint8 array: min-max stretch to [0,255]; if mean>128 treat dark
+    pixels as content else invert; crop to the content bounding box;
+    paste onto a white canvas rounded up to multiples of ``divable``."""
+    data = gray.astype(np.float64)
+    lo, hi = data.min(), data.max()
+    data = (data - lo) / (hi - lo) * 255 if hi > lo else np.zeros_like(data)
+    threshold = 128
+    if data.mean() > threshold:
+        content = data < threshold  # dark-on-light: text is dark
+    else:
+        content = data > threshold
+        data = 255 - data  # normalize polarity to dark-on-light
+    ys, xs = np.nonzero(content)
+    if len(xs) == 0:
+        a, b, w, h = 0, 0, gray.shape[1], gray.shape[0]
+    else:
+        a, b = int(xs.min()), int(ys.min())
+        w, h = int(xs.max()) - a + 1, int(ys.max()) - b + 1
+    rect = data[b : b + h, a : a + w].astype(np.uint8)
+    dims = [divable * -(-x // divable) for x in (w, h)]
+    canvas = np.full((dims[1], dims[0]), 255, dtype=np.uint8)
+    canvas[:h, :w] = rect
+    return canvas
+
+
+GRAY_MEAN, GRAY_STD = 0.7931, 0.1738  # transforms.py:17
+
+
+def normalize_gray(gray: "np.ndarray") -> "np.ndarray":
+    """I4 test transform: grayscale [0,1] → standardized float32."""
+    return ((gray.astype(np.float32) / 255.0) - GRAY_MEAN) / GRAY_STD
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+PROBED_SCHEMA_EXTRA = [
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+]
+
+
+def with_probed_size(images: DataFrame, png_col: str = "png") -> DataFrame:
+    """S3 size probe: width/height from IHDR bytes, no decode."""
+    schema = T.StructType(list(images.schema.fields) + PROBED_SCHEMA_EXTRA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            sizes = [probe_png_size(b) for b in pdf[png_col]]
+            pdf["width"] = pd.Series(
+                [s[0] if s else None for s in sizes], dtype="Int32"
+            )
+            pdf["height"] = pd.Series(
+                [s[1] if s else None for s in sizes], dtype="Int32"
+            )
+            yield pdf
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def filter_dimensions(
+    images: DataFrame,
+    min_dims: Tuple[int, int] = (32, 32),
+    max_dims: Tuple[int, int] = (1024, 512),
+) -> DataFrame:
+    """F1 dimension-range filter (dataset.py:24-26,74)."""
+    return images.filter(
+        (F.col("width") >= min_dims[0])
+        & (F.col("width") <= max_dims[0])
+        & (F.col("height") >= min_dims[1])
+        & (F.col("height") <= max_dims[1])
+    )
+
+
+def with_bucket(images: DataFrame, divable: int = 32) -> DataFrame:
+    """Size-bucket key: the post-pad canvas dims (÷32 geometry, I1/I3)."""
+    up = lambda c: (F.ceil(F.col(c) / divable) * divable).cast("int")
+    return images.withColumn(
+        "bucket", F.struct(up("width").alias("w"), up("height").alias("h"))
+    )
+
+
+def preprocess_images(images: DataFrame, png_col: str = "png") -> DataFrame:
+    """I1+I4: decode → pad-to-÷32 → re-encode, appending the processed
+    PNG and its final dims.  Runs per Arrow batch; rows whose decode is
+    unsupported are passed through with nulls (quarantine downstream).
+    """
+    schema = T.StructType(
+        list(images.schema.fields)
+        + [
+            T.StructField("proc_png", T.BinaryType()),
+            T.StructField("proc_w", T.IntegerType()),
+            T.StructField("proc_h", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            outs, ws, hs = [], [], []
+            for b in pdf[png_col]:
+                try:
+                    padded = pad_to_divisible(decode_png_gray(bytes(b)))
+                    outs.append(encode_png_gray(padded))
+                    ws.append(padded.shape[1])
+                    hs.append(padded.shape[0])
+                except (NotImplementedError, Exception):
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            pdf["proc_png"] = outs
+            pdf["proc_w"] = pd.Series(ws, dtype="Int32")
+            pdf["proc_h"] = pd.Series(hs, dtype="Int32")
+            yield pdf
+
+    return images.mapInPandas(run, schema=schema)

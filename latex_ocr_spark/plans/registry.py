@@ -519,10 +519,15 @@ def dedup_jaccard(spark, sf):
 @register(
     "dedup_minhash_lsh",
     oracle=r"""
-    WITH sh AS (
-      SELECT DISTINCT id, shingle FROM (
-        SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS shingle
-        FROM documents) WHERE shingle <> ''),
+    WITH tk AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM tk),
     sig AS (
       SELECT id,
              min(md5(shingle || '#0')) AS s0, min(md5(shingle || '#1')) AS s1,
@@ -541,7 +546,58 @@ def dedup_jaccard(spark, sf):
     """,
 )
 def dedup_minhash_lsh(spark, sf):
-    return D.lsh_candidate_pairs(_docs(spark, sf), num_hashes=8, band_size=2, ngram=1)
+    """3-gram shingles: the realistic near-dup granularity (unigram
+    shingles collide on shared vocabulary alone)."""
+    return D.lsh_candidate_pairs(_docs(spark, sf), num_hashes=8, band_size=2, ngram=3)
+
+
+@register(
+    "dedup_lsh_jaccard",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM tk),
+    sig AS (
+      SELECT id,
+             min(md5(shingle || '#0')) AS s0, min(md5(shingle || '#1')) AS s1,
+             min(md5(shingle || '#2')) AS s2, min(md5(shingle || '#3')) AS s3,
+             min(md5(shingle || '#4')) AS s4, min(md5(shingle || '#5')) AS s5,
+             min(md5(shingle || '#6')) AS s6, min(md5(shingle || '#7')) AS s7
+      FROM sh GROUP BY id),
+    keyed AS (
+      SELECT id, 0 AS band_idx, md5(s0 || '|' || s1) AS band_key FROM sig
+      UNION ALL SELECT id, 1, md5(s2 || '|' || s3) FROM sig
+      UNION ALL SELECT id, 2, md5(s4 || '|' || s5) FROM sig
+      UNION ALL SELECT id, 3, md5(s6 || '|' || s7) FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM keyed a JOIN keyed b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.a_id
+      JOIN sh b ON b.id = c.b_id AND b.shingle = a.shingle
+      GROUP BY c.a_id, c.b_id)
+    SELECT i.a_id, i.b_id,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.a_id
+    JOIN sizes sb ON sb.id = i.b_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+    """,
+)
+def dedup_lsh_jaccard(spark, sf):
+    """The production near-dup plan: LSH candidate pairs + exact
+    Jaccard verify — quadratic work bounded by band-key collisions."""
+    return D.lsh_verified_pairs(_docs(spark, sf), threshold=0.5, ngram=3)
 
 
 @register("dedup_simhash")  # xxhash64 — Spark-only, rows-only check
@@ -649,6 +705,195 @@ def text_langid(spark, sf):
 )
 def text_fingerprint(spark, sf):
     return TS.fingerprints(_docs(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# eval operators (E2/E4) — metric plumbing with SQL oracles; the
+# post_process-equality semantics are covered by the parity pytest suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_exact_match",
+    oracle="""
+    SELECT CAST(round(avg(CASE WHEN pred = truth THEN 1 ELSE 0 END), 4) AS DOUBLE)
+             AS exact_match_rate,
+           count(*) AS n_pairs
+    FROM (SELECT CASE WHEN doc_id % 5 = 0 THEN 'X' || text ELSE text END AS pred,
+                 text AS truth
+          FROM documents)
+    """,
+)
+def eval_exact_match(spark, sf):
+    """E4: per-pair equality rate over a deterministically perturbed
+    pred/truth table (every 5th pred corrupted)."""
+    docs = _docs(spark, sf)
+    pairs = docs.select(
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("X"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("pred"),
+        F.col("text").alias("truth"),
+    )
+    return pairs.agg(
+        F.round(F.avg(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0)), 4)
+        .cast("double")
+        .alias("exact_match_rate"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+@register(
+    "eval_edit_distance",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           round(CAST(levenshtein(
+             CASE WHEN doc_id % 5 = 0 THEN 'X' || substr(text, 1, 80) ELSE substr(text, 1, 80) END,
+             substr(text, 1, 80)) AS DOUBLE)
+             / greatest(length(substr(text, 1, 80)), 1), 4) AS edit_dist_norm
+    FROM documents
+    """,
+)
+def eval_edit_distance(spark, sf):
+    """E2: truth-normalized Levenshtein (eval.py:58-61) — native
+    levenshtein in both engines; capped strings bound the DP cost."""
+    docs = _docs(spark, sf)
+    truth = F.substring(F.col("text"), 1, 80)
+    pred = F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("X"), truth)).otherwise(truth)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.round(
+            F.levenshtein(pred, truth).cast("double")
+            / F.greatest(F.length(truth), F.lit(1)),
+            4,
+        ).alias("edit_dist_norm"),
+    )
+
+
+@register("eval_pipeline_metrics")  # Python metrics kernel — rows-only
+def eval_pipeline_metrics(spark, sf):
+    """Full E1-E4 rollup over the extraction+tokenize+decode loop; the
+    invariant (exact_match_rate == BLEU == 1.0) is asserted in pytest."""
+    from latex_ocr_spark.operators.evalmetrics import metric_rollup, score_pairs
+    from latex_ocr_spark.operators.inference import infer_spans
+    from latex_ocr_spark.operators.tokenize import with_tokens
+
+    spans = extract_spans(
+        synth_transcripts(spark, 100).select("conv_id", "turn_idx", "text")
+    )
+    pred = infer_spans(with_tokens(spans), num_partitions=8, salt_buckets=16)
+    pairs = pred.select(
+        F.col("pred_latex").alias("pred"), F.col("latex_norm").alias("truth")
+    )
+    return metric_rollup(score_pairs(pairs))
+
+
+@register("tok_bpe_ids")  # broadcast-BPE python kernel — rows-only
+def tok_bpe_ids(spark, sf):
+    """M6 tokenize + F6 seq-len gate over extracted spans."""
+    from latex_ocr_spark.operators.tokenize import filter_max_seq_len, with_tokens
+
+    spans = extract_spans(
+        synth_transcripts(spark, 100).select("conv_id", "turn_idx", "text")
+    )
+    return filter_max_seq_len(with_tokens(spans), max_len=512)
+
+
+# ---------------------------------------------------------------------------
+# image-path operators: synthetic PNGs derived from doc_id; the Spark
+# side probes real IHDR bytes, the oracle recomputes sizes arithmetically
+# ---------------------------------------------------------------------------
+
+_IMG_SIZES = [(32, 32), (64, 32), (128, 64), (320, 96), (672, 192), (2000, 1200), (16, 16)]
+
+
+@register(
+    "img_probe_bucket",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             CASE doc_id % 7 WHEN 0 THEN 32 WHEN 1 THEN 64 WHEN 2 THEN 128
+                  WHEN 3 THEN 320 WHEN 4 THEN 672 WHEN 5 THEN 2000 ELSE 16 END AS width,
+             CASE doc_id % 7 WHEN 0 THEN 32 WHEN 1 THEN 32 WHEN 2 THEN 64
+                  WHEN 3 THEN 96 WHEN 4 THEN 192 WHEN 5 THEN 1200 ELSE 16 END AS height
+      FROM documents)
+    SELECT CAST(ceil(width / 32.0) * 32 AS INT) AS bw,
+           CAST(ceil(height / 32.0) * 32 AS INT) AS bh,
+           count(*) AS n_images
+    FROM sized
+    WHERE width BETWEEN 32 AND 1024 AND height BETWEEN 32 AND 512
+    GROUP BY 1, 2
+    """,
+)
+def img_probe_bucket(spark, sf):
+    """S3+F1+bucket chain on real PNG bytes: synthesize a PNG per doc
+    (size keyed by doc_id), probe width/height from IHDR, apply the
+    reference dimension filter, count per ÷32 bucket."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from latex_ocr_spark.operators.images import (
+        filter_dimensions,
+        with_bucket,
+        with_probed_size,
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from latex_ocr_spark.operators.images import encode_png_gray
+
+        for pdf in batches:
+            pngs = []
+            for did in pdf["doc_id"]:
+                w, h = _IMG_SIZES[int(did) % 7]
+                arr = np.full((h, w), 255, dtype=np.uint8)
+                arr[: max(h // 4, 1), : max(w // 4, 1)] = 0
+                pngs.append(encode_png_gray(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+    images = _docs(spark, sf).select("doc_id").mapInPandas(gen, schema=schema)
+    kept = filter_dimensions(with_probed_size(images))
+    return (
+        with_bucket(kept)
+        .groupBy(F.col("bucket.w").alias("bw"), F.col("bucket.h").alias("bh"))
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+@register("img_preprocess")  # numpy pad/crop kernel — rows-only
+def img_preprocess(spark, sf):
+    """I1 pad chain over synthetic PNGs (decode → bbox crop → ÷32 pad)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from latex_ocr_spark.operators.images import preprocess_images
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from latex_ocr_spark.operators.images import encode_png_gray
+
+        for pdf in batches:
+            pngs = []
+            for did in pdf["doc_id"]:
+                w, h = _IMG_SIZES[int(did) % 5]  # in-range sizes only
+                arr = np.full((h, w), 255, dtype=np.uint8)
+                arr[: max(h // 3, 1), : max(w // 3, 1)] = 0
+                pngs.append(encode_png_gray(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+    images = _docs(spark, sf).select("doc_id").limit(200).mapInPandas(gen, schema=schema)
+    return preprocess_images(images).select("doc_id", "proc_w", "proc_h")
 
 
 # ---------------------------------------------------------------------------

@@ -172,7 +172,20 @@ def expand_document(text: str) -> str:
 def expand_macros(text: str) -> str:
     r"""Full chain: comment strip → blank-line squeeze → \def/\let
     conversion → iterative expansion.  Pure; safe to call per row inside
-    an Arrow batch."""
+    an Arrow batch.
+
+    Fast path: when the stripped text contains no definition marker at
+    all, the full machinery provably reduces to label removal (masking
+    round-trips to identity, the sweep loop sees zero commands), so we
+    skip the two O(n) masking passes and five regex sweeps per turn —
+    the common case on real transcript corpora.
+    """
     text = _RE_COMMENT.sub("\n", text)
     text = _RE_BLANKLINES.sub("\n", text)
+    if (
+        "newcommand" not in text
+        and "\\def" not in text
+        and "\\let" not in text
+    ):
+        return strip_labels(text)
     return expand_document(rewrite_primitive_defs(text))

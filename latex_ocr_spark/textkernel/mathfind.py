@@ -78,13 +78,20 @@ def locate_math(text: str, wiki: bool = False) -> List[str]:
     modes.
     """
     found: List[str] = []
-    for groups in RE_INLINE.findall(text):
-        found.append(groups[1] if groups[1] != "" else groups[-1])
-    plan = (
-        [(RE_DISPLAYSTYLE, 0)]
-        if wiki
-        else [(RE_DOLLAR, 1), (RE_EQUATION, 1), (RE_ALIGN, 0)]
-    )
+    # substring pre-gates: each pattern requires a fixed marker byte
+    # sequence, so skipping the regex engine when it is absent is exact
+    if "\\(" in text or "\\[" in text:
+        for groups in RE_INLINE.findall(text):
+            found.append(groups[1] if groups[1] != "" else groups[-1])
+    if wiki:
+        plan = [(RE_DISPLAYSTYLE, 0)] if "\\displaystyle" in text else []
+    else:
+        plan = []
+        if "$" in text:
+            plan.append((RE_DOLLAR, 1))
+        if "\\begin" in text:
+            plan.append((RE_EQUATION, 1))
+            plan.append((RE_ALIGN, 0))
     for pattern, group in plan:
         for groups in pattern.findall(text):
             found.append(groups[group])

@@ -1,0 +1,90 @@
+"""Image-path operators: PNG codec, IHDR probe, pad()/bbox semantics,
+dimension filter, bucket assignment (SURVEY.md §2.7, FIXTURES.md §3)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from latex_ocr_spark.operators.images import (
+    decode_png_gray,
+    encode_png_gray,
+    filter_dimensions,
+    normalize_gray,
+    pad_to_divisible,
+    preprocess_images,
+    probe_png_size,
+    with_bucket,
+    with_probed_size,
+)
+
+SIZES = [(32, 32), (64, 32), (128, 64), (320, 96), (672, 192), (2000, 1200), (16, 16)]
+
+
+def synth_image(w: int, h: int, seed: int) -> np.ndarray:
+    """White canvas with a deterministic black rectangle."""
+    arr = np.full((h, w), 255, dtype=np.uint8)
+    x0, y0 = (seed * 7) % max(w // 2, 1), (seed * 5) % max(h // 2, 1)
+    arr[y0 : y0 + max(h // 4, 1), x0 : x0 + max(w // 4, 1)] = 0
+    return arr
+
+
+def test_png_codec_roundtrip():
+    for i, (w, h) in enumerate(SIZES):
+        img = synth_image(w, h, i)
+        png = encode_png_gray(img)
+        assert probe_png_size(png) == (w, h)
+        assert np.array_equal(decode_png_gray(png), img)
+    assert probe_png_size(b"notapng") is None
+
+
+def test_pad_semantics():
+    # dark-on-light 50x30 content box → canvas padded up to /32
+    img = np.full((30, 50), 255, dtype=np.uint8)
+    img[10:20, 5:45] = 0
+    out = pad_to_divisible(img)
+    assert out.shape == (32, 64)  # bbox 40x10 → ceil/32 → 64x32
+    assert out[0, 0] == 0  # content moved to origin
+    assert out[-1, -1] == 255  # padding is white
+    # light-on-dark input gets polarity-normalized (inverted)
+    inv = 255 - img
+    out2 = pad_to_divisible(inv)
+    assert out2.shape == (32, 64)
+    # blank image: no content → full-size canvas
+    blank = np.full((40, 40), 200, dtype=np.uint8)
+    assert pad_to_divisible(blank).shape == (64, 64)
+
+
+def test_normalize_gray():
+    g = np.array([[0, 255]], dtype=np.uint8)
+    n = normalize_gray(g)
+    assert n.dtype == np.float32
+    assert n[0, 0] == pytest.approx((0 - 0.7931) / 0.1738, rel=1e-5)
+    assert n[0, 1] == pytest.approx((1 - 0.7931) / 0.1738, rel=1e-5)
+
+
+def test_spark_image_pipeline(spark):
+    rows = [
+        (i, encode_png_gray(synth_image(w, h, i))) for i, (w, h) in enumerate(SIZES)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["eq_id", "png"]))
+    probed = with_probed_size(df)
+    got = {r.eq_id: (r.width, r.height) for r in probed.collect()}
+    assert got == {i: s for i, s in enumerate(SIZES)}
+
+    kept = filter_dimensions(probed)
+    ids = sorted(r.eq_id for r in kept.collect())
+    assert ids == [0, 1, 2, 3, 4]  # (2000,1200) and (16,16) dropped
+
+    bucketed = with_bucket(kept)
+    buckets = {r.eq_id: (r.bucket.w, r.bucket.h) for r in bucketed.collect()}
+    assert buckets[0] == (32, 32) and buckets[4] == (672, 192)
+
+    proc = preprocess_images(kept).collect()
+    for r in proc:
+        assert r.proc_w % 32 == 0 and r.proc_h % 32 == 0
+        assert r.proc_png is not None
