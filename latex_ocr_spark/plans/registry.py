@@ -306,6 +306,89 @@ def f9_token_gate(spark, sf):
 
 
 @register(
+    "f2348_scrub_gates",
+    oracle=r"""
+    SELECT doc_id, cand
+    FROM (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'x_' || doc_id || '+1'
+               WHEN 1 THEN '\tikz{bad' || doc_id || '}'
+               WHEN 2 THEN 'y_' || doc_id || '\'
+               ELSE '' END AS cand
+      FROM documents)
+    WHERE length(cand) >= 1
+      AND NOT contains(cand, 'tikz')
+      AND substr(cand, length(cand), 1) <> '\'
+    """,
+)
+def f2348_scrub_gates(spark, sf):
+    """F2 min-length + F3 tikz + F4 trailing-backslash + F7 blank gates
+    (extract_latex.py:54-74, render.py:61-62) as one filter chain over
+    four constructed candidate classes; only class 0 survives."""
+    c = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("x_"), _id(), F.lit("+1")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("\\tikz{bad"), _id(), F.lit("}")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("y_"), _id(), F.lit("\\")))
+        .otherwise(F.lit(""))
+    )
+    docs = _docs(spark, sf).select("doc_id", c.alias("cand"))
+    return docs.filter(
+        (F.length("cand") >= 1)
+        & (~F.col("cand").contains("tikz"))
+        & (F.substring(F.col("cand"), -1, 1) != "\\")
+    )
+
+
+@register(
+    "w1_stable_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS turn_seq
+    FROM orders
+    """,
+)
+def w1_stable_order(spark, sf):
+    """W1 stable order restore: per-group sequence via window — the
+    writeback ordering of the north rule, on a relational carrier."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, "orders", sf).select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("turn_seq")
+    )
+
+
+@register(
+    "j5_posexplode_backfill",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(range(len(tk))) AS pos,
+             unnest(tk) AS tok
+      FROM toks)
+    SELECT p.doc_id, p.pos, p.tok, d.lang
+    FROM pos p JOIN documents d ON p.doc_id = d.doc_id
+    WHERE p.pos < 5
+    """,
+)
+def j5_posexplode_backfill(spark, sf):
+    """J5 positional backfill (render.py:79-87): posexplode assigns
+    in-batch positions, join maps them back to global attributes."""
+    docs = _docs(spark, sf)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    pos = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok")).filter(
+        F.col("pos") < 5
+    )
+    return pos.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "pos", "tok", "lang"
+    )
+
+
+@register(
     "j1_index_equijoin",
     oracle="""
     SELECT n.n_name,
@@ -906,3 +989,35 @@ def img_preprocess(spark, sf):
 def extract_transcripts(spark, sf):
     transcripts = synth_transcripts(spark, 200, parallelism=8)
     return with_stable_order(extract_spans(transcripts, repartition=8))
+
+
+@register("corpus_build")
+def corpus_build(spark, sf):
+    """The reference's complete corpus build (SURVEY §3.2) as one query:
+    extract per-turn spans → global dedup → KaTeX-style normalization
+    (T10→T11→F9→T12, parity-tested vs the vendored JS) → sorted corpus
+    with line ids (W2+W6 semantics)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spans = extract_spans(
+        synth_transcripts(spark, 150, parallelism=8).select(
+            "conv_id", "turn_idx", "text"
+        )
+    )
+    distinct = spans.select("raw_match").distinct()
+
+    def norm(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from latex_ocr_spark.textkernel.normalize import normalize_formula_katex
+
+        for pdf in batches:
+            out = pdf["raw_match"].map(normalize_formula_katex)
+            keep = out.notna()
+            yield pd.DataFrame({"formula": out[keep]})
+
+    schema = T.StructType([T.StructField("formula", T.StringType())])
+    corpus = distinct.mapInPandas(norm, schema=schema).distinct()
+    w = Window.orderBy("formula")
+    return corpus.select(F.row_number().over(w).alias("eq_id"), "formula")

@@ -105,3 +105,21 @@ def normalize_formula(s: str) -> Optional[str]:
     joined = " ".join(tokens)
     joined = collapse_operatorname(joined, spaced=True)
     return joined.replace(r"\\ \end{array}", r"\end{array}")
+
+
+def normalize_formula_katex(s: str) -> Optional[str]:
+    """The reference's *complete* corpus normalization of one formula:
+    env canonicalization → KaTeX parse + AST re-render (T11) →
+    >5-token gate → operatorname collapse → array-tail fix — the exact
+    preprocess_formulas.py:62-89 flow.  None = dropped (too short or
+    unparseable)."""
+    from latex_ocr_spark.textkernel.katex import katex_normalize
+
+    s = canonicalize_envs(s)
+    s = katex_normalize(s)
+    tokens = s.strip().split()
+    if len(tokens) <= MIN_FORMULA_TOKENS:
+        return None
+    joined = " ".join(tokens)
+    joined = collapse_operatorname(joined, spaced=True)
+    return joined.replace(r"\\ \end{array}", r"\end{array}")
