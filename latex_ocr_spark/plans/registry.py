@@ -557,6 +557,65 @@ def w6_line_numbering(spark, sf):
     )
 
 
+@register(
+    "a8_supplier_balance_by_region",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_suppliers,
+           CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_acctbal > 0
+    GROUP BY r.r_name
+    """,
+)
+def a8_supplier_balance_by_region(spark, sf):
+    """Three-way broadcast star join over the remaining dim tables."""
+    s = load_table(spark, "supplier", sf)
+    n = load_table(spark, "nation", sf)
+    r = load_table(spark, "region", sf)
+    return (
+        s.filter(F.col("s_acctbal") > 0)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "a9_part_size_histogram",
+    oracle="""
+    SELECT p_brand, CAST(p_size // 10 AS INT) AS size_bucket, count(*) AS n_parts,
+           CAST(round(avg(CAST(p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_price
+    FROM part
+    WHERE p_type LIKE '%a%'
+    GROUP BY p_brand, CAST(p_size // 10 AS INT)
+    """,
+)
+def a9_part_size_histogram(spark, sf):
+    """Filter + two-key hash aggregation with a LIKE predicate."""
+    p = load_table(spark, "part", sf)
+    return (
+        p.filter(F.col("p_type").like("%a%"))
+        .groupBy(
+            "p_brand", F.floor(F.col("p_size") / 10).cast("int").alias("size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg(F.col("p_retailprice").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("avg_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
