@@ -35,13 +35,23 @@ _RE_NL = re.compile(r"(?!\\ )(%s)\s+?(%s)" % (_NOLETTER, _LETTER))
 _RE_LN = re.compile(r"(%s)\s+?(%s)" % (_LETTER, _NOLETTER))
 
 
+_RE_ANY_WS = re.compile(r"\s")
+
+
 def post_process(s: str) -> str:
     """Canonicalize whitespace in a LaTeX string.
 
     First collapses spaces *inside* ``\\operatorname/\\mathrm/\\text/
     \\mathbf { .. }`` groups, then repeatedly deletes whitespace between
     letter/non-letter character pairs until a fixpoint.
+
+    Fast path: with no whitespace anywhere, neither phase can change
+    the string (the group pattern needs a literal space, the fixpoint
+    deletions need ``\\s``) — exact, and makes re-normalization of
+    already-normalized text (the eval path) nearly free.
     """
+    if not _RE_ANY_WS.search(s):
+        return s
     collapsed = [m[0].replace(" ", "") for m in _RE_TEXT_GROUP.findall(s)]
     s = _RE_TEXT_GROUP.sub(lambda _m: str(collapsed.pop(0)), s)
     while True:
