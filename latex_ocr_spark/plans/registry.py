@@ -1044,6 +1044,55 @@ def img_preprocess(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "w7_event_time_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w7_event_time_windows(spark, sf):
+    """Tumbling event-time windows (the batch form of the streaming
+    windowed agg; F.window == time_bucket for aligned 1h windows)."""
+    ev = load_table(spark, "events", sf)
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("extract_failures")
+def extract_failures(spark, sf):
+    """Quarantine visibility: turns whose macro expansion failed
+    (reference DemacroError skip policy, arxiv.py:153-156)."""
+    from latex_ocr_spark.operators.extract import extract_spans_with_failures
+
+    transcripts = synth_transcripts(spark, 150, parallelism=8)
+    # inject a known-poisonous turn so the path is exercised
+    poison = spark.createDataFrame(
+        [("conv-poison", 0, r"\newcommand{\a(}{x} $\a( + 1$")],
+        "conv_id string, turn_idx int, text string",
+    )
+    base = transcripts.select("conv_id", "turn_idx", "text").unionByName(poison)
+    _spans, failed = extract_spans_with_failures(base)
+    return failed
+
+
 @register("extract_transcripts")
 def extract_transcripts(spark, sf):
     transcripts = synth_transcripts(spark, 200, parallelism=8)
