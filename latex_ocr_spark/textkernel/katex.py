@@ -60,19 +60,22 @@ SYMBOL_WORDS = set(
         "Leftrightarrow mapsto hookleftarrow hookrightarrow nearrow searrow "
         "swarrow nwarrow uparrow downarrow updownarrow Uparrow Downarrow "
         "Updownarrow longleftarrow longrightarrow longleftrightarrow "
-        "Longleftarrow Longrightarrow Longleftrightarrow longmapsto implies "
-        "iff rightharpoonup rightharpoondown leftharpoonup leftharpoondown "
+        "Longleftarrow Longrightarrow Longleftrightarrow longmapsto "
+        "rightharpoonup rightharpoondown leftharpoonup leftharpoondown "
         "rightleftharpoons "
-        "infty partial nabla forall exists neg lnot emptyset varnothing "
+        "infty partial nabla forall neg lnot emptyset varnothing "
         "aleph hbar imath jmath ell wp Re Im prime backslash top bot angle "
         "triangle surd diamondsuit heartsuit clubsuit spadesuit flat natural "
-        "sharp vdots ddots cdots ldots dots dotsb dotsc dotsi dotsm dotso "
+        "sharp vdots ddots cdots ldots dots "
         "colon lbrace rbrace lbrack rbrack langle rangle lfloor rfloor "
         "lceil rceil vert Vert lvert rvert lVert rVert "
-        "not atop degree circledast "
-        "S P copyright checkmark"
+        "not atop circledast S checkmark"
     ).split()
 )
+# words the vendored KaTeX does NOT know fall through to the
+# unknown-mathord path: exists, iff, implies, dotsb..dotso, degree,
+# copyright, P, bm, boldsymbol, mathnormal, mathring, negthinspace,
+# textit — audited one-by-one against node (tests/test_katex_parity)
 
 #: control symbols (backslash + punctuation) that are plain symbols
 SYMBOL_CONTROL = set("\\# \\& \\$ \\_ \\{ \\} \\| \\^ \\~ \\%".split(" "))
@@ -86,14 +89,14 @@ MATHORD_MULTICHAR = set(
      "tau upsilon phi varphi chi psi omega imath jmath").split()
 )
 
-SPACING_WORDS = {"quad", "qquad", "enspace", "thinspace", "negthinspace"}
+SPACING_WORDS = {"quad", "qquad", "enspace", "thinspace"}
 SPACING_CONTROL = {"\\,", "\\;", "\\:", "\\!", "\\ ", "\\>"}
 
 #: \sin-family named operators: name -> limits (True => \operatorname*)
 NAMED_OPS = {
     **{n: False for n in (
         "sin cos tan cot sec csc sinh cosh tanh coth arcsin arccos arctan "
-        "arg ln log exp deg dim hom ker"
+        "arg ln log exp deg dim hom ker lg"
     ).split()},
     **{n: True for n in "lim limsup liminf max min sup inf det gcd Pr".split()},
 }
@@ -105,17 +108,17 @@ SYMBOL_OPS = set(
 )
 
 ACCENTS = set(
-    "hat tilde bar vec dot ddot acute grave check breve mathring "
+    "hat tilde bar vec dot ddot acute grave check breve "
     "widetilde widehat overrightarrow overleftarrow".split()
 )
 
-FONT_WORDS = set("mathrm mathbf mathit mathnormal mathcal mathfrak mathscr "
-                 "mathsf mathtt boldsymbol bm".split())
-TEXT_WORDS = {"text", "textrm", "textit", "textbf", "mbox", "hbox"}
+FONT_WORDS = set("mathrm mathbf mathit mathcal mathfrak mathscr "
+                 "mathsf mathtt textbf".split())
+TEXT_WORDS = {"text", "mbox", "hbox"}
 STYLING_WORDS = {"displaystyle", "textstyle", "scriptstyle", "scriptscriptstyle"}
-SIZING_WORDS = {"rm", "it", "bf", "sf", "tt", "cal", "tiny", "scriptsize",
-                "footnotesize", "small", "normalsize", "large", "Large",
-                "LARGE", "huge", "Huge"}
+SIZING_WORDS = {"rm", "it", "bf", "sf", "tt", "cal", "textrm", "tiny",
+                "scriptsize", "footnotesize", "small", "normalsize", "large",
+                "Large", "LARGE", "huge", "Huge"}
 DELIMSIZING = set("big Big bigg Bigg bigl Bigl biggl Biggl bigr Bigr biggr "
                   "Biggr bigm Bigm biggm Biggm".split())
 
@@ -448,23 +451,6 @@ class _Parser:
                 node["cols"] = ["l", "l"]
             return {"t": "leftright", "left": left, "right": right, "body": [node]}
         return node
-
-
-def _group_chars(node: dict) -> str:
-    """Flatten an \\operatorname argument to its character string."""
-    if node["t"] == "ordgroup":
-        out = ""
-        for child in node["body"]:
-            if child["t"] == "sym":
-                out += child["v"]
-            elif child["t"] == "spacing":
-                pass
-            else:
-                raise KatexError("complex operatorname body")
-        return out
-    if node["t"] == "sym":
-        return node["v"]
-    raise KatexError("complex operatorname body")
 
 
 # ---------------------------------------------------------------------------
