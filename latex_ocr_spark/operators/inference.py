@@ -86,10 +86,21 @@ def infer_spans(
     return df.mapInPandas(run, schema=schema)
 
 
+EOS_ID = 2
+
+
 def _decode_batch(batch: "np.ndarray") -> "np.ndarray":
-    """Stand-in for model.generate (models/utils.py:34-37): greedy
-    decode == identity over the input ids.  Replace with a torch
-    forward pass to run real weights; the (B, L) contract is the same."""
+    """Stand-in for model.generate (models/utils.py:34-37) that keeps
+    the *loop shape* of the reference's autoregressive sampler
+    (transformer.py:12-52): one token emitted per step, rows that have
+    produced EOS are frozen (the eos barrier, :43-44), the loop ends
+    when every row has finished or max length is reached.
+
+    The stand-in "logits" make greedy argmax reproduce the input ids —
+    the strongest determinism choice (SURVEY.md §4: argmax instead of
+    temperature sampling).  Swapping in real weights replaces only the
+    next-token function; the batching/masking contract is identical.
+    """
     try:  # pragma: no cover — real-model path, absent in this container
         import torch  # noqa: F401
 
@@ -97,4 +108,14 @@ def _decode_batch(batch: "np.ndarray") -> "np.ndarray":
             "real ViT+AR decode requires trained weights; wire them here"
         )
     except ImportError:
-        return batch
+        pass
+    B, L = batch.shape
+    out = np.full((B, L), PAD_ID, dtype=np.int64)
+    finished = np.zeros(B, dtype=bool)
+    for t in range(L):
+        next_tok = batch[:, t]  # deterministic stand-in next-token fn
+        out[:, t] = np.where(finished, PAD_ID, next_tok)
+        finished |= next_tok == EOS_ID
+        if finished.all():
+            break
+    return out
