@@ -1,0 +1,44 @@
+"""Similarity-search quality: the LSH-bucketed ANN path must recover a
+meaningful fraction of the exact brute-force neighbors, and both paths
+must be deterministic across runs/partitionings."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from pyspark.sql import functions as F
+
+from latex_ocr_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+def _load(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_deterministic(spark):
+    emb = _load(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    a = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk(emb.repartition(13), q, k=5).collect()))
+    assert a == b
+    assert len(a) == 8 * 5
+
+
+def test_lsh_recall_vs_exact(spark):
+    emb = _load(spark)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    # fewer planes → bigger buckets → higher recall; 4 planes = 16 buckets
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(emb, q, k=10, num_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # every approx neighbor must be a real row (id sanity)
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert all(n in ids for _q, n in approx)
