@@ -76,7 +76,9 @@ def jaccard_pairs(
     and this only on the candidates; standalone it is still shuffle-
     bounded by shingle frequency, not O(n²).
     """
-    sh = doc_shingles(docs, text_col, id_col, ngram)
+    # the shingle table feeds both join sides and the size table — a
+    # self-join recomputes its lineage per side unless materialized
+    sh = doc_shingles(docs, text_col, id_col, ngram).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -146,7 +148,7 @@ def lsh_candidate_pairs(
     )
     keyed = sig.select(
         "id", F.posexplode(bands).alias("band_idx", "band_key")
-    )
+    ).persist()  # both sides of the candidate self-join read this
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -178,7 +180,7 @@ def lsh_verified_pairs(
     (tunable via num_hashes/band_size); precision is exact.
     """
     cand = lsh_candidate_pairs(docs, num_hashes, band_size, text_col, id_col, ngram)
-    sh = doc_shingles(docs, text_col, id_col, ngram)
+    sh = doc_shingles(docs, text_col, id_col, ngram).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")
