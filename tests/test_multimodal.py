@@ -1,0 +1,58 @@
+"""Multimodal plumbing: typed media schema, batched feature extraction
+with quarantined codec gaps, and the frame-sampling plan arithmetic."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import numpy as np
+
+from latex_ocr_spark.operators.images import encode_png_gray
+from latex_ocr_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    frame_sample_plan,
+)
+
+
+def _media_rows():
+    img = np.zeros((32, 64), dtype=np.uint8)
+    img[:, 32:] = 255  # half black half white → known histogram
+    return [
+        (0, "image", "image/png", bytearray(encode_png_gray(img)),
+         {"width": 64, "height": 32, "duration_ms": None, "sample_rate": None, "n_frames": None}),
+        (1, "audio", "audio/wav", bytearray(b"RIFF....WAVE"),
+         {"width": None, "height": None, "duration_ms": 4000, "sample_rate": 16000, "n_frames": None}),
+        (2, "video", "video/mp4", bytearray(b"\x00\x00\x00\x18ftyp"),
+         {"width": 640, "height": 360, "duration_ms": 10000, "sample_rate": None, "n_frames": 251}),
+        (3, "video", "video/mp4", bytearray(b""),
+         {"width": 64, "height": 36, "duration_ms": 2000, "sample_rate": None, "n_frames": 5}),
+    ]
+
+
+def test_feature_extraction_and_quarantine(spark):
+    df = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in extract_media_features(df, feature_dim=4).collect()}
+    # decodable PNG: histogram halves in first and last bins
+    img = rows[0]
+    assert img.decode_error is None
+    assert img.feature[0] == 0.5 and img.feature[3] == 0.5
+    assert img.n_bytes > 50  # tiny uniform PNG compresses hard
+    # undecodable kinds quarantine with a reason, never crash the task
+    for mid in (1, 2):
+        assert rows[mid].feature is None
+        assert "no codec" in rows[mid].decode_error
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    plan = {r.media_id: [] for r in df.filter("kind = 'video'").collect()}
+    for r in frame_sample_plan(df, every_ms=1000).collect():
+        plan[r.media_id].append((r.frame_idx, r.ts_ms))
+    # 251 frames over 10 s → 40 ms/frame → step 25 → 11 samples
+    idx2 = [f for f, _ in sorted(plan[2])]
+    assert idx2 == list(range(0, 251, 25))
+    assert sorted(plan[2])[1][1] == 1000  # second sample at ~1 s
+    # 5 frames over 2 s → 500 ms/frame → step 2
+    assert [f for f, _ in sorted(plan[3])] == [0, 2, 4]
