@@ -120,10 +120,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     fps_ms = F.when(n > 1, dur / (n - 1)).otherwise(F.lit(None))
     step = F.greatest(F.ceil(F.lit(every_ms) / fps_ms), F.lit(1)).cast("int")
     return (
-        v.withColumn("_step", step)
+        v.withColumn("_fps_ms", fps_ms)
+        .withColumn("_step", step)
         .select(
             "media_id",
             F.explode(F.sequence(F.lit(0), n - 1, F.col("_step"))).alias("frame_idx"),
+            F.col("_fps_ms"),
         )
-        .withColumn("ts_ms", (F.col("frame_idx") * fps_ms).cast("long"))
+        .withColumn("ts_ms", (F.col("frame_idx") * F.col("_fps_ms")).cast("long"))
+        .drop("_fps_ms")
     )
