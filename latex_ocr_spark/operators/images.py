@@ -131,6 +131,62 @@ def pad_to_divisible(gray: "np.ndarray", divable: int = 32) -> "np.ndarray":
     return canvas
 
 
+def resize_nearest(gray: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Nearest-neighbor resample (cv2/PIL-free)."""
+    H, W = gray.shape
+    ys = (np.arange(h) * (H / h)).astype(int).clip(0, H - 1)
+    xs = (np.arange(w) * (W / w)).astype(int).clip(0, W - 1)
+    return gray[ys][:, xs]
+
+
+def minmax_size(
+    gray: "np.ndarray",
+    max_dims: Tuple[int, int] = (672, 192),
+    min_dims: Tuple[int, int] = (32, 32),
+) -> "np.ndarray":
+    """I2 clamp (cli.py:32-55 semantics): downscale keeping aspect when
+    over max_dimensions; pad right/bottom with white up to
+    min_dimensions."""
+    h, w = gray.shape
+    if w > max_dims[0] or h > max_dims[1]:
+        ratio = min(max_dims[0] / w, max_dims[1] / h)
+        gray = resize_nearest(gray, max(int(w * ratio), 1), max(int(h * ratio), 1))
+        h, w = gray.shape
+    if w < min_dims[0] or h < min_dims[1]:
+        canvas = np.full((max(h, min_dims[1]), max(w, min_dims[0])), 255, dtype=np.uint8)
+        canvas[:h, :w] = gray
+        gray = canvas
+    return gray
+
+
+def predict_width_class(gray: "np.ndarray", max_width: int = 672) -> int:
+    """Deterministic stand-in for the ResNetV2 width classifier
+    (train_resizer.py): a contracting map on the current width, so the
+    fixpoint loop genuinely iterates.  A trained model drops in here —
+    the loop/bucket contract is unchanged."""
+    h, w = gray.shape
+    target = w // 2 if w > 320 else w
+    target = 32 * -(-target // 32)
+    return int(min(max(target, 32), max_width))
+
+
+def resize_to_bucket(
+    gray: "np.ndarray", max_iters: int = 10
+) -> Tuple["np.ndarray", int]:
+    """I3 resize-bucket fixpoint (cli.py:116-128 loop shape): predict
+    the best width, resize keeping aspect, repeat until the prediction
+    equals the current width (≤ 10 rounds).  Returns (image, iters)."""
+    img = pad_to_divisible(minmax_size(pad_to_divisible(gray)))
+    for i in range(max_iters):
+        h, w = img.shape
+        want = predict_width_class(img)
+        if want == w:
+            return img, i
+        new_h = max(int(h * want / w), 1)
+        img = pad_to_divisible(resize_nearest(img, want, new_h))
+    return img, max_iters
+
+
 GRAY_MEAN, GRAY_STD = 0.7931, 0.1738  # transforms.py:17
 
 

@@ -1093,6 +1093,76 @@ def extract_failures(spark, sf):
     return failed
 
 
+@register("media_features")
+def media_features(spark, sf):
+    """Multimodal plumbing: typed binary media columns → batched
+    feature extraction with codec-gap quarantine (rows-only: binary
+    payload construction is not SQL-expressible)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from latex_ocr_spark.operators.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from latex_ocr_spark.operators.images import encode_png_gray
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 0:
+                    arr = np.full((32, 32), (did * 37) % 256, dtype=np.uint8)
+                    rows.append((did, "image", "image/png", bytearray(encode_png_gray(arr)),
+                                 (32, 32, None, None, None)))
+                elif did % 3 == 1:
+                    rows.append((did, "audio", "audio/wav", bytearray(b"RIFF"),
+                                 (None, None, 3000, 16000, None)))
+                else:
+                    rows.append((did, "video", "video/mp4", bytearray(b"ftyp"),
+                                 (640, 360, 8000, None, 200)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload", "meta"])
+
+    media = _docs(spark, sf).select("doc_id").limit(120).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "feature", "decode_error"
+    )
+
+
+@register(
+    "media_frame_plan",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id, 200 AS n_frames, 8000 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id < 120)
+    SELECT media_id,
+           unnest(range(0, n_frames, CAST(ceil(1000 / (duration_ms / (n_frames - 1))) AS INT))) AS frame_idx
+    FROM v
+    """,
+)
+def media_frame_plan(spark, sf):
+    """Frame-sampling plan arithmetic — SQL-checkable since it is pure
+    metadata math (the decode stays behind the codec stub)."""
+    from latex_ocr_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    docs = _docs(spark, sf).filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 120))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"), F.lit(360).alias("height"),
+            F.lit(8000).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(200).alias("n_frames"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_idx")
+
+
 @register("extract_transcripts")
 def extract_transcripts(spark, sf):
     transcripts = synth_transcripts(spark, 200, parallelism=8)

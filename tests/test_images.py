@@ -67,6 +67,34 @@ def test_normalize_gray():
     assert n[0, 1] == pytest.approx((1 - 0.7931) / 0.1738, rel=1e-5)
 
 
+def test_minmax_size_clamp():
+    from latex_ocr_spark.operators.images import minmax_size
+
+    big = synth_image(2000, 1200, 1)
+    clamped = minmax_size(big)
+    assert clamped.shape[1] <= 672 and clamped.shape[0] <= 192
+    # aspect preserved within nearest-neighbor rounding
+    assert abs(clamped.shape[1] / clamped.shape[0] - 2000 / 1200) < 0.1
+    tiny = synth_image(16, 16, 2)
+    padded = minmax_size(tiny)
+    assert padded.shape == (32, 32)
+    assert padded[-1, -1] == 255  # white pad
+
+
+def test_resize_bucket_fixpoint():
+    from latex_ocr_spark.operators.images import resize_to_bucket
+
+    for w, h, seed in [(672, 192, 1), (640, 128, 2), (64, 32, 3), (320, 96, 4)]:
+        img, iters = resize_to_bucket(synth_image(w, h, seed))
+        assert iters < 10, "fixpoint loop failed to converge"
+        assert img.shape[1] % 32 == 0 and img.shape[0] % 32 == 0
+        assert 32 <= img.shape[1] <= 672
+        # converged: the predictor agrees with the final width
+        from latex_ocr_spark.operators.images import predict_width_class
+
+        assert predict_width_class(img) == img.shape[1]
+
+
 def test_spark_image_pipeline(spark):
     rows = [
         (i, encode_png_gray(synth_image(w, h, i))) for i, (w, h) in enumerate(SIZES)
