@@ -1,0 +1,86 @@
+"""Watermarked windowed streaming: windows finalize exactly once as the
+watermark advances across catch-up runs; late data within the
+watermark is still counted; the union of emitted windows matches the
+batch aggregation."""
+
+import datetime as dt
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import pandas as pd
+import pytest
+
+from latex_ocr_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    start_windowed_stream,
+    windowed_counts,
+)
+
+BASE = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _events(hours_values):
+    rows = []
+    for i, (hour, minute) in enumerate(hours_values):
+        rows.append(
+            (i, BASE + dt.timedelta(hours=hour, minutes=minute), i % 3, "click", 1.0, "{}")
+        )
+    return rows
+
+
+@pytest.fixture
+def dirs():
+    d = tempfile.mkdtemp(prefix="streamwin_")
+    yield f"{d}/in", f"{d}/out", f"{d}/ckpt"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, inp, out, ckpt):
+    q = start_windowed_stream(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+
+def _emitted(spark, out):
+    try:
+        return {
+            (r.window_start.hour, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+    except Exception:
+        return set()
+
+
+def test_watermark_finalizes_windows_across_catchups(spark, dirs):
+    inp, out, ckpt = dirs
+
+    def land(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+
+    # batch 1: events in hours 0 and 1 — nothing can finalize yet
+    land(_events([(0, 5), (0, 40), (1, 10)]))
+    _run(spark, inp, out, ckpt)
+    assert _emitted(spark, out) == set()
+
+    # batch 2: a late hour-0 event (allowed: watermark is max(ts)-1h =
+    # 0:10) plus events at hour 3 → watermark moves to 2:00 and the
+    # hour-0 (2 original + 1 late = 3 events) and hour-1 windows finalize
+    land(_events([(0, 55), (3, 0)]))
+    _run(spark, inp, out, ckpt)
+    assert _emitted(spark, out) == {(0, 3), (1, 1)}
+
+    # batch 3: push watermark far ahead → hour 3 finalizes too
+    land(_events([(9, 0)]))
+    _run(spark, inp, out, ckpt)
+    assert _emitted(spark, out) == {(0, 3), (1, 1), (3, 1)}
+
+    # emitted windows agree with the batch aggregation of the same data
+    batch = windowed_counts(spark.read.parquet(inp))
+    batch_set = {(r.window_start.hour, r.n_events) for r in batch.collect()}
+    assert _emitted(spark, out) <= batch_set
