@@ -72,6 +72,41 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    With ``num_planes`` > 0 candidates are restricted to hyperplane-LSH
+    buckets first (the 100 TB path — all-pairs work shrinks by ~2^planes
+    at some recall cost); 0 = exact all-pairs, used as the oracle-
+    checkable baseline at test scale.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if num_planes:
+        b = hyperplane_buckets(embeddings, num_planes, id_col, vec_col)
+        a_side = v.join(b, "id").select(F.col("id").alias("a_id"), F.col("v").alias("av"), "bucket")
+        b_side = v.join(b, "id").select(F.col("id").alias("b_id"), F.col("v").alias("bv"), "bucket")
+        pairs = a_side.join(b_side, ["bucket"]).filter(F.col("a_id") < F.col("b_id"))
+    else:
+        a_side = v.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
+        b_side = v.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
+        pairs = a_side.join(b_side, F.col("a_id") < F.col("b_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))), 4
+        ),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("a_id", "b_id", "cosine")
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     num_planes: int = 8,

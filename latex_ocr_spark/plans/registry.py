@@ -774,6 +774,28 @@ def ann_cosine_topk(spark, sf):
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 200)
+    SELECT a.id AS a_id, b.id AS b_id,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM v a JOIN v b ON a.id < b.id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline
+    (LSH-bucketed variant is the scale path, same operator)."""
+    emb = load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 200)
+    return S.cosine_dup_pairs(emb, threshold=0.5)
+
+
 @register("ann_lsh_topk")  # xxhash64 plane coefficients — rows-only
 def ann_lsh_topk(spark, sf):
     emb = load_table(spark, "embeddings", sf)
