@@ -354,7 +354,7 @@ def w1_stable_order(spark, sf):
     writeback ordering of the north rule, on a relational carrier."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return load_table(spark, "orders", sf).select(
-        "o_custkey", "o_orderkey", F.row_number().over(w).alias("turn_seq")
+        "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("turn_seq")
     )
 
 
@@ -380,7 +380,7 @@ def j5_posexplode_backfill(spark, sf):
     in-batch positions, join maps them back to global attributes."""
     docs = _docs(spark, sf)
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    pos = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok")).filter(
+    pos = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok")).withColumn("pos", F.col("pos").cast("long")).filter(
         F.col("pos") < 5
     )
     return pos.join(docs.select("doc_id", "lang"), "doc_id").select(
@@ -1182,7 +1182,7 @@ def media_frame_plan(spark, sf):
             F.lit(200).alias("n_frames"),
         ).alias("meta"),
     )
-    return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_idx")
+    return frame_sample_plan(media, every_ms=1000).select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
 @register("extract_transcripts")

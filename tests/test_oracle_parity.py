@@ -62,6 +62,12 @@ def test_oracle_pair(spark, name):
     drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    # type strictness: integer-family columns must agree at 64-bit
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for col, st in stypes.items():
+        if st in ("int", "smallint", "tinyint"):
+            dcol_type = str(res.description[dcols.index(col)][1]).lower()
+            assert "int" in dcol_type or "number" in dcol_type
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     assert _rowset(srows, scols) == _rowset(drows, dcols), f"{name}: values differ"
 
