@@ -60,7 +60,12 @@ def shape_uniform_repartition(
     """
     bucketed = df.withColumn(
         "_len_bucket", F.ceil(F.log2(F.length("text") + F.lit(2))).cast("int")
-    ).withColumn("_salt", F.pmod(F.hash("conv_id"), F.lit(salt_buckets)))
+    ).withColumn(
+        # (conv_id, turn_idx) salt: conv_id alone would pin whale
+        # conversations to single partitions
+        "_salt",
+        F.pmod(F.hash("conv_id", "turn_idx"), F.lit(salt_buckets)),
+    )
     parts = [F.col("_salt"), F.col("_len_bucket")]
     if num_partitions:
         repartitioned = bucketed.repartition(num_partitions, *parts)

@@ -53,7 +53,12 @@ def infer_spans(
 ) -> DataFrame:
     """Append ``pred_latex`` via the batched stand-in decode."""
     df = with_token_bucket(spans_with_tokens, tokens_col)
-    df = df.withColumn("_salt", F.pmod(F.hash("conv_id"), F.lit(salt_buckets)))
+    # salt on (conv_id, turn_idx): hashing conv_id alone would pin a
+    # whale conversation to one partition — the turn component spreads
+    # hot conversations while same-bucket rows still co-batch
+    df = df.withColumn(
+        "_salt", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(salt_buckets))
+    )
     parts = [F.col("_salt"), F.col("bucket")]
     df = (
         df.repartition(num_partitions, *parts) if num_partitions else df.repartition(*parts)
