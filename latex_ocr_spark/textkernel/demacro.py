@@ -180,8 +180,11 @@ def expand_macros(text: str) -> str:
     skip the two O(n) masking passes and five regex sweeps per turn —
     the common case on real transcript corpora.
     """
-    text = _RE_COMMENT.sub("\n", text)
-    text = _RE_BLANKLINES.sub("\n", text)
+    # substring gates are exact: the patterns need these bytes to match
+    if "%" in text:
+        text = _RE_COMMENT.sub("\n", text)
+    if "\n\n" in text:
+        text = _RE_BLANKLINES.sub("\n", text)
     if (
         "newcommand" not in text
         and "\\def" not in text

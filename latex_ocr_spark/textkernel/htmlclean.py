@@ -35,6 +35,9 @@ def strip_html_noise(text: str) -> str:
 
 
 def looks_like_html(text: str) -> bool:
+    # every marker alternative starts with '<' or '&' — exact pre-gate
+    if "<" not in text and "&" not in text:
+        return False
     return _RE_HTML_MARKER.search(text) is not None
 
 

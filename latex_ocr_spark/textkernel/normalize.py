@@ -60,6 +60,8 @@ def post_process(s: str) -> str:
         squeezed = _RE_LN.sub(r"\1\2", squeezed)
         if squeezed == s:
             return s
+        if not _RE_ANY_WS.search(squeezed):
+            return squeezed  # whitespace-free is already a fixpoint
         s = squeezed
 
 
