@@ -101,11 +101,16 @@ def extract_spans_with_failures(
     transcripts: DataFrame,
     repartition: Optional[int] = None,
     salt_buckets: Optional[int] = None,
+    persist_raw: bool = False,
 ) -> Tuple[DataFrame, DataFrame]:
     """(spans, failed_turns) pair from one pass over the text.
 
     ``failed_turns`` carries the turns whose macro expansion blew up
     (quarantine table input, SURVEY.md §4 retry semantics).
+
+    Both outputs filter the same UDF stage; a caller that materializes
+    both should pass ``persist_raw=True`` so the Python stage runs once
+    (and own the unpersist via the returned frames' lineage root).
     """
     candidates = candidate_filter(
         transcripts.select("conv_id", "turn_idx", "text")
@@ -115,10 +120,15 @@ def extract_spans_with_failures(
             candidates, num_partitions=repartition, salt_buckets=salt_buckets
         )
     raw = candidates.mapInPandas(extract_spans_batches, schema=EXTRACTED_SCHEMA)
+    if persist_raw:
+        raw = raw.persist()
     spans = raw.filter(F.col("span_idx") != FAILED_TURN_SPAN_IDX)
     failed = raw.filter(F.col("span_idx") == FAILED_TURN_SPAN_IDX).select(
         "conv_id", "turn_idx"
     )
+    if persist_raw:
+        # hand the cache handle to the caller for unpersist-after-use
+        spans._persisted_raw = raw  # type: ignore[attr-defined]
     return spans, failed
 
 

@@ -86,9 +86,10 @@ def run_resumable_extract(
     started = time.time()
 
     spans, failed = extract_spans_with_failures(
-        pending.select("conv_id", "turn_idx", "text")
+        pending.select("conv_id", "turn_idx", "text"), persist_raw=True
     )
-    spans = with_work_key(spans, n_units).persist()
+    raw_handle = getattr(spans, "_persisted_raw", None)
+    spans = with_work_key(spans, n_units)
     failed = with_work_key(failed, n_units)
 
     # 1. output commit — dynamic overwrite touches only pending units'
@@ -96,7 +97,8 @@ def run_resumable_extract(
     spans.write.mode("overwrite").partitionBy("work_key").parquet(output_path)
 
     if fail_on_units and set(unit_rows) & set(fail_on_units):
-        spans.unpersist()
+        if raw_handle is not None:
+            raw_handle.unpersist()
         raise RuntimeError("injected crash between output and lineage commit")
 
     # 2. lineage commit (append) — marks the units done
@@ -124,7 +126,8 @@ def run_resumable_extract(
         .withColumn("attempt", F.lit(1))
     )
     metrics.write.mode("append").parquet(lineage_path)
-    spans.unpersist()
+    if raw_handle is not None:
+        raw_handle.unpersist()
     return len(unit_rows)
 
 
