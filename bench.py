@@ -148,9 +148,9 @@ def single_run(cores: int, convs: int) -> None:
     print(json.dumps({"cores": cores, "sec": round(sec, 3), "turns": n_turns}))
 
 
-#: scaling-test input: 4× the bench size so per-stage fixed overheads
+#: scaling-test input: 8× the bench size so per-stage fixed overheads
 #: (~1-2 s) are noise against compute at both parallelism levels
-SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "200000"))
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "400000"))
 
 
 def _ceiling_work(_arg):
@@ -235,7 +235,7 @@ def _write_baseline_md(scaling: dict) -> None:
             "# BENCH baseline — measured on this container\n\n"
             "Flagship extraction pipeline over a materialized synthetic\n"
             f"transcripts table ({scaling['n_turns']:,} turns, 64-way parquet layout),\n"
-            "identical input at four local parallelism levels — the sandbox\n"
+            "identical input at two local parallelism levels — the sandbox\n"
             "stand-in for the N vs 4N executor criterion (BASELINE.json\n"
             "north_rule; the driver instruction allows two local parallelism\n"
             "levels as the cluster substitute).\n\n"
@@ -252,6 +252,8 @@ def _write_baseline_md(scaling: dict) -> None:
             f"Method: {scaling['reps']} interleaved child runs per level, best "
             "kept; within each\nchild the job runs twice and the warm run counts "
             "(the first pays\none-time Python-worker spawn + module import per core).\n"
+            "Observed spread across whole --scaling invocations on this shared\n"
+            "host is about ±0.05 (this file holds the latest run's numbers).\n"
         )
 
 

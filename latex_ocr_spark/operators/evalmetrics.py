@@ -94,14 +94,18 @@ def score_pairs(
     pairs: DataFrame, pred_col: str = "pred", truth_col: str = "truth"
 ) -> DataFrame:
     """Append the four per-pair metrics.  post_process is applied to
-    both sides inside the UDF (the reference's equality invariant)."""
+    both sides inside the UDF (the reference's equality invariant).
+    The tokenizer travels as a broadcast (executors may only have the
+    --py-files zip, not the resources directory)."""
+    from latex_ocr_spark.operators.tokenize import _broadcast_tokenizer, _rebuild
+
+    bc = _broadcast_tokenizer(pairs)
     schema = T.StructType(list(pairs.schema.fields) + _PAIR_SCHEMA_EXTRA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from latex_ocr_spark.textkernel.bpe import default_tokenizer
         from latex_ocr_spark.textkernel.normalize import post_process
 
-        tk = default_tokenizer()
+        tk = _rebuild(bc)
         for pdf in batches:
             pdf = pdf.copy()
             bleus, eds, accs, exact = [], [], [], []
