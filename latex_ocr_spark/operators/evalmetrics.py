@@ -82,11 +82,51 @@ def token_accuracy(pred_ids: List[int], truth_ids: List[int], pad: int = 0) -> f
     return sum(int(x == y) for x, y in zip(p, t)) / n
 
 
+def bleu_counts(pred_tokens: List[str], truth_tokens: List[str], max_n: int = 4):
+    """Per-pair clipped n-gram overlap/total counts + lengths — the
+    additive pieces of corpus BLEU (torchtext's formulation, which the
+    reference computes per batch at eval.py:57)."""
+    overlap, total = [], []
+    for n in range(1, max_n + 1):
+        p = Counter(tuple(pred_tokens[i : i + n]) for i in range(len(pred_tokens) - n + 1))
+        t = Counter(tuple(truth_tokens[i : i + n]) for i in range(len(truth_tokens) - n + 1))
+        overlap.append(sum((p & t).values()))
+        total.append(max(sum(p.values()), 0))
+    return overlap, total, len(pred_tokens), len(truth_tokens)
+
+
+def corpus_bleu(scored: DataFrame, max_n: int = 4) -> float:
+    """Corpus-level BLEU over a table scored by :func:`score_pairs`.
+
+    Counts aggregate distributively (one Spark agg); the 10-number
+    final combine runs driver-side.  This is the reference's metric
+    shape; the per-pair ``bleu`` column remains the partition-stable
+    per-row signal."""
+    sums = scored.agg(
+        *[F.sum(F.element_at("bleu_overlap", n + 1)).alias(f"o{n}") for n in range(max_n)],
+        *[F.sum(F.element_at("bleu_total", n + 1)).alias(f"t{n}") for n in range(max_n)],
+        F.sum("pred_len").alias("plen"),
+        F.sum("truth_len").alias("tlen"),
+    ).collect()[0]
+    log_sum = 0.0
+    for n in range(max_n):
+        o, t = sums[f"o{n}"], sums[f"t{n}"]
+        if not o or not t:
+            return 0.0
+        log_sum += math.log(o / t) / max_n
+    bp = 1.0 if sums.plen >= sums.tlen else math.exp(1 - sums.tlen / max(sums.plen, 1))
+    return bp * math.exp(log_sum)
+
+
 _PAIR_SCHEMA_EXTRA = [
     T.StructField("bleu", T.DoubleType()),
     T.StructField("edit_dist_norm", T.DoubleType()),
     T.StructField("token_acc", T.DoubleType()),
     T.StructField("exact_match", T.IntegerType()),
+    T.StructField("bleu_overlap", T.ArrayType(T.LongType())),
+    T.StructField("bleu_total", T.ArrayType(T.LongType())),
+    T.StructField("pred_len", T.LongType()),
+    T.StructField("truth_len", T.LongType()),
 ]
 
 
@@ -109,14 +149,20 @@ def score_pairs(
         for pdf in batches:
             pdf = pdf.copy()
             bleus, eds, accs, exact = [], [], [], []
+            overlaps, totals, plens, tlens = [], [], [], []
             for pred, truth in zip(pdf[pred_col], pdf[truth_col]):
                 p = post_process(pred or "")
                 t = post_process(truth or "")
                 # BLEU over BPE token sequences, as the reference's
                 # detokenize→bleu_score chain does (eval.py:55-57)
-                bleus.append(
-                    sentence_bleu(tk.detok_tokens(pred or ""), tk.detok_tokens(truth or ""))
-                )
+                pt = tk.detok_tokens(pred or "")
+                tt = tk.detok_tokens(truth or "")
+                bleus.append(sentence_bleu(pt, tt))
+                ov, tot, pl, tl = bleu_counts(pt, tt)
+                overlaps.append(ov)
+                totals.append(tot)
+                plens.append(pl)
+                tlens.append(tl)
                 eds.append(edit_distance(p, t) / max(len(t), 1))
                 accs.append(
                     token_accuracy(
@@ -129,6 +175,10 @@ def score_pairs(
             pdf["edit_dist_norm"] = eds
             pdf["token_acc"] = accs
             pdf["exact_match"] = exact
+            pdf["bleu_overlap"] = overlaps
+            pdf["bleu_total"] = totals
+            pdf["pred_len"] = plens
+            pdf["truth_len"] = tlens
             yield pdf
 
     return pairs.mapInPandas(run, schema=schema)

@@ -1207,7 +1207,13 @@ def corpus_build(spark, sf):
             "conv_id", "turn_idx", "text"
         )
     )
-    distinct = spans.select("raw_match").distinct()
+    # F5 corpus symbol gate (postprocess.py:12-16): requires one of
+    # \ _ ^ ( ) { } — JVM-side regex, applied before the Python stage
+    distinct = (
+        spans.select("raw_match")
+        .filter(F.col("raw_match").rlike(r"[\\_^(){}]"))
+        .distinct()
+    )
 
     def norm(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from latex_ocr_spark.textkernel.normalize import normalize_formula_katex

@@ -41,12 +41,18 @@ def test_end_to_end_inference_invariant(spark):
     pairs = pred.select(
         F.col("pred_latex").alias("pred"), F.col("latex_norm").alias("truth")
     )
-    rollup = metric_rollup(score_pairs(pairs)).collect()[0]
+    from latex_ocr_spark.operators.evalmetrics import corpus_bleu
+
+    scored = score_pairs(pairs)
+    scored.persist()
+    rollup = metric_rollup(scored).collect()[0]
     assert rollup.n_pairs > 300
     assert rollup.exact_match_rate == 1.0  # the per-turn equality invariant
     assert rollup.avg_bleu == 1.0
     assert rollup.avg_edit_dist == 0.0
     assert rollup.avg_token_acc == 1.0
+    assert corpus_bleu(scored) == 1.0  # reference-shaped corpus BLEU
+    scored.unpersist()
 
 
 def test_bucketing_is_shape_uniform(spark):
@@ -57,12 +63,16 @@ def test_bucketing_is_shape_uniform(spark):
 
 
 def test_score_pairs_detects_mismatch(spark):
+    from latex_ocr_spark.operators.evalmetrics import corpus_bleu
+
     pairs = spark.createDataFrame(
         pd.DataFrame({"pred": [r"x + y", r"a"], "truth": [r"x+y", r"b"]})
     )
-    rows = score_pairs(pairs).collect()
+    scored = score_pairs(pairs)
+    rows = scored.collect()
     by_truth = {r.truth: r for r in rows}
     # whitespace differences are erased by post_process: still exact
     assert by_truth["x+y"].exact_match == 1
     assert by_truth["b"].exact_match == 0
     assert by_truth["b"].edit_dist_norm == 1.0
+    assert 0.0 <= corpus_bleu(scored) < 1.0
