@@ -64,6 +64,32 @@ def test_two_stage_resume_equals_one_shot(spark, dirs):
     assert got == expected
 
 
+def test_random_staged_arrival_equals_one_shot(spark, dirs):
+    """Property: any sequence of partial-input runs converges to the
+    one-shot result once all data has arrived."""
+    import random
+
+    out, lin = dirs
+    transcripts = synth_transcripts(spark, N_CONVS)
+    keyed = with_work_key(transcripts, N_UNITS)
+
+    rng = random.Random(7)
+    units = list(range(N_UNITS))
+    rng.shuffle(units)
+    # reveal units in 3 random-size waves (cumulative prefixes)
+    cut1, cut2 = sorted(rng.sample(range(1, N_UNITS), 2))
+    waves = [units[:cut1], units[:cut2], units]
+    for wave in waves:
+        visible = keyed.filter(F.col("work_key").isin(wave)).drop("work_key")
+        run_resumable_extract(spark, visible, out, lin, N_UNITS)
+
+    expected = _spans_set(extract_spans(transcripts.select("conv_id", "turn_idx", "text")))
+    got = _spans_set(read_extracted(spark, out).drop("work_key"))
+    assert got == expected
+    lineage = spark.read.parquet(lin)
+    assert lineage.select("work_key").distinct().count() == N_UNITS
+
+
 def test_crash_between_commits_recovers(spark, dirs):
     out, lin = dirs
     transcripts = synth_transcripts(spark, N_CONVS)
