@@ -72,6 +72,12 @@ HTML_TEMPLATES = [
     "<p>se question about $x_{i} &lt; y$ and code</p><noscript>nojs_{i}</noscript>",
     "<p>entity soup &amp; math $a_{i} \\leq b$ plus $$c_{i}^2$$ tail</p>",
     "<body>plain html no math turn {i} &amp; nothing else</body>",
+    # numeric entity for '$': only decodes to math after unescape — the
+    # reason the JVM prefilter must keep '&'-bearing turns
+    "<p>entity dollars &#36;e_{i}+f&#36; and named &dollar;g_{i}&dollar; end</p>",
+    # malformed / unclosed markup must not derail the strip pass
+    "<div class=broken <span>$h_{i}-1$</div><script>half_open_{i}",
+    "<p>CDATA-ish <![CDATA[ $not_me_{i}$ ]]> but real $yes_{i}$</p>",
 ]
 
 # --- no-math turns -----------------------------------------------------------
