@@ -32,7 +32,9 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(
-            F.min(id_col).cast("long").alias("canonical_id"),
+            # keep the id column's own type — casting string ids to
+            # long would silently nullify every canonical_id
+            F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
@@ -104,6 +106,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) MinHash signature per document.
 
@@ -111,7 +114,7 @@ def minhash_signatures(
     the DuckDB oracle reproduces it bit-for-bit.  One explode + one
     groupBy; partial min aggregation keeps the shuffle narrow.
     """
-    sh = doc_shingles(docs, text_col, id_col, ngram)
+    sh = _shingles if _shingles is not None else doc_shingles(docs, text_col, id_col, ngram)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -126,6 +129,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any band key.
 
@@ -134,7 +138,7 @@ def lsh_candidate_pairs(
     plan is explode → shuffle on the band key → pair — which scales as
     the number of true near-dups, not as n².
     """
-    sig = minhash_signatures(docs, num_hashes, text_col, id_col, ngram)
+    sig = minhash_signatures(docs, num_hashes, text_col, id_col, ngram, _shingles)
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -179,8 +183,10 @@ def lsh_verified_pairs(
     2^(128/band) band-key space.  Recall is that of MinHash-LSH
     (tunable via num_hashes/band_size); precision is exact.
     """
-    cand = lsh_candidate_pairs(docs, num_hashes, band_size, text_col, id_col, ngram)
     sh = doc_shingles(docs, text_col, id_col, ngram).persist()
+    cand = lsh_candidate_pairs(
+        docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")

@@ -49,7 +49,7 @@ def candidate_filter(df: DataFrame) -> DataFrame:
 def shape_uniform_repartition(
     df: DataFrame,
     num_partitions: Optional[int] = None,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Salted repartition on (hash(conv_id) % salt, length bucket).
 
@@ -58,6 +58,9 @@ def shape_uniform_repartition(
     for the Python kernel (long macro-heavy turns cluster together
     instead of straggling a mixed partition).
     """
+    # guard: pmod(hash, lit(None)) is NULL for every row, silently
+    # collapsing the salt — default rather than forward a None
+    salt_buckets = salt_buckets or DEFAULT_SALT_BUCKETS
     bucketed = df.withColumn(
         "_len_bucket", F.ceil(F.log2(F.length("text") + F.lit(2))).cast("int")
     ).withColumn(

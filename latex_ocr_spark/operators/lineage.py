@@ -21,7 +21,6 @@ duplicate or drop rows.
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 
@@ -39,9 +38,12 @@ def with_work_key(transcripts: DataFrame, n_units: int = DEFAULT_UNITS) -> DataF
 
 def completed_units(spark: SparkSession, lineage_path: str) -> DataFrame:
     """Work keys with a committed lineage row (empty DF when no runs yet)."""
-    if not os.path.exists(lineage_path):
+    # probe via Spark, not os.path — the lineage table may live on
+    # HDFS/S3 where the driver's local filesystem says nothing
+    try:
+        return spark.read.parquet(lineage_path).select("work_key").distinct()
+    except Exception:  # AnalysisException: path does not exist
         return spark.createDataFrame([], "work_key int")
-    return spark.read.parquet(lineage_path).select("work_key").distinct()
 
 
 def pending_work(
@@ -82,6 +84,9 @@ def run_resumable_extract(
     if not unit_rows:
         return 0
 
+    prev_overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     started = time.time()
 
@@ -99,6 +104,7 @@ def run_resumable_extract(
     if fail_on_units and set(unit_rows) & set(fail_on_units):
         if raw_handle is not None:
             raw_handle.unpersist()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
         raise RuntimeError("injected crash between output and lineage commit")
 
     # 2. lineage commit (append) — marks the units done
@@ -128,6 +134,7 @@ def run_resumable_extract(
     metrics.write.mode("append").parquet(lineage_path)
     if raw_handle is not None:
         raw_handle.unpersist()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
     return len(unit_rows)
 
 

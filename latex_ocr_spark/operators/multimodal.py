@@ -95,9 +95,9 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     total = max(int(hist.sum()), 1)
                     feats.append([round(float(h) / total, 6) for h in hist])
                     errs.append(None)
-                except NotImplementedError as exc:
+                except Exception as exc:  # corrupt payloads quarantine too
                     feats.append(None)
-                    errs.append(str(exc))
+                    errs.append(f"{type(exc).__name__}: {exc}")
             pdf["n_bytes"] = pd.Series(n_bytes, dtype="int64")
             pdf["feature"] = feats
             pdf["decode_error"] = errs

@@ -122,10 +122,13 @@ def hyperplane_buckets(
     v = _as_double(F.col(vec_col))
     signs = []
     for p in range(num_planes):
+        # pmod, not %: Spark's % keeps the dividend sign, which would
+        # bias every coefficient negative and collapse all non-negative
+        # vectors into one bucket
         coef = lambda x, i, _p=p: x * (
-            (F.xxhash64(F.concat(F.lit(f"{_p}#"), i.cast("string"))) % 1000).cast(
-                "double"
-            )
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"{_p}#"), i.cast("string"))), F.lit(1000)
+            ).cast("double")
             / 1000.0
             - 0.4995
         )

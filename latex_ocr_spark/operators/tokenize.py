@@ -26,7 +26,7 @@ def _rebuild(bc):
     """Executor-side: materialize a tokenizer from broadcast bytes once
     per worker (module-level memo keyed by broadcast id)."""
     import hashlib
-    import tempfile
+    import json
 
     from latex_ocr_spark.textkernel import bpe
 
@@ -35,9 +35,7 @@ def _rebuild(bc):
         cache = bpe._BC_CACHE = {}
     key = hashlib.md5(bc.value).hexdigest()
     if key not in cache:
-        with tempfile.NamedTemporaryFile("wb", suffix=".json", delete=False) as f:
-            f.write(bc.value)
-        cache[key] = bpe.BpeTokenizer(f.name)
+        cache[key] = bpe.BpeTokenizer(spec=json.loads(bc.value))
     return cache[key]
 
 

@@ -63,8 +63,9 @@ def _byte_unicode_map() -> Dict[int, str]:
 class BpeTokenizer:
     """Immutable tokenizer state; cheap to broadcast to executors."""
 
-    def __init__(self, path: str = DEFAULT_TOKENIZER_PATH):
-        spec = json.load(open(path))
+    def __init__(self, path: str = DEFAULT_TOKENIZER_PATH, spec: dict | None = None):
+        if spec is None:
+            spec = json.load(open(path))
         self.vocab: Dict[str, int] = spec["model"]["vocab"]
         self.inv_vocab: Dict[int, str] = {v: k for k, v in self.vocab.items()}
         merges = spec["model"]["merges"]
@@ -76,6 +77,9 @@ class BpeTokenizer:
         b2u = _byte_unicode_map()
         self._b2u = b2u
         self._u2b = {u: b for b, u in b2u.items()}
+        # per-instance memo (an lru_cache on the method would key on
+        # self and pin dead tokenizer instances in a class-level cache)
+        self._pretoken_cache: Dict[str, Tuple[int, ...]] = {}
 
     # -- encode ---------------------------------------------------------
 
@@ -95,8 +99,10 @@ class BpeTokenizer:
             )
         return word
 
-    @lru_cache(maxsize=65536)
     def _encode_pretoken(self, chunk: str) -> Tuple[int, ...]:
+        hit = self._pretoken_cache.get(chunk)
+        if hit is not None:
+            return hit
         units = tuple(self._b2u[b] for b in chunk.encode("utf-8"))
         pieces = self._merge_word(units)
         # unknown pieces fall back to single-byte tokens; bytes missing
@@ -107,7 +113,10 @@ class BpeTokenizer:
                 out.append(self.vocab[p])
             else:
                 out.extend(self.vocab[c] for c in p if c in self.vocab)
-        return tuple(out)
+        ids = tuple(out)
+        if len(self._pretoken_cache) < 65536:
+            self._pretoken_cache[chunk] = ids
+        return ids
 
     def encode(self, text: str, add_specials: bool = True) -> List[int]:
         ids: List[int] = []

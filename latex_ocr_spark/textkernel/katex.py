@@ -205,9 +205,9 @@ class _Parser:
                         "denom": {"t": "ordgroup", "body": denom},
                     }
                 ]
-            out.append(self.parse_atom_with_scripts(out))
+            out.append(self.parse_atom_with_scripts())
 
-    def parse_atom_with_scripts(self, siblings: List[dict]) -> dict:
+    def parse_atom_with_scripts(self) -> dict:
         atom = self.parse_atom()
         sub = sup = None
         primes: List[dict] = []
@@ -233,9 +233,8 @@ class _Parser:
         return {"t": "supsub", "base": atom, "sub": sub, "sup": sup}
 
     def parse_script(self) -> dict:
-        t = self.peek()
-        if t == "{":
-            return self.parse_atom()
+        # braced scripts become ordgroups via parse_atom; single tokens
+        # come back as-is — the renderer distinguishes them
         return self.parse_atom()
 
     def parse_required_group(self) -> dict:

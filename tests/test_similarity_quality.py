@@ -26,16 +26,26 @@ def test_brute_force_deterministic(spark):
 
 
 def test_lsh_recall_vs_exact(spark):
+    from latex_ocr_spark.operators.similarity import hyperplane_buckets
+
     emb = _load(spark)
     q = emb.filter(F.col("vec_id") < 20)
+
+    # the buckets must genuinely partition the corpus — a sign-biased
+    # hash once collapsed every vector into bucket 0, which made recall
+    # trivially perfect while doing O(n²) work
+    buckets = hyperplane_buckets(emb, num_planes=2).groupBy("bucket").count().collect()
+    assert len(buckets) >= 3
+    assert max(r["count"] for r in buckets) < 0.6 * sum(r["count"] for r in buckets)
+
     exact = {
         (r.query_id, r.neighbor_id)
         for r in cosine_topk(emb, q, k=10).collect()
     }
-    # fewer planes → bigger buckets → higher recall; 4 planes = 16 buckets
+    # 2 planes = 4 buckets; measured recall ≈ 0.33 on these embeddings
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in lsh_cosine_topk(emb, q, k=10, num_planes=4).collect()
+        for r in lsh_cosine_topk(emb, q, k=10, num_planes=2).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
