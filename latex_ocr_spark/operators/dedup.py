@@ -9,6 +9,12 @@ training-data stack, built Spark-first:
 - shingling/explode/groupBy stay JVM-side; no Python in any hot path;
 - MinHash+LSH is the scale path: candidate generation is a band-key
   equi-join, never an O(n²) cross join.
+
+Caching policy: frames feeding both sides of a self-join are
+``persist()``-ed (Spark recomputes a self-join's lineage per side) and
+intentionally left cached for the session — these operators are
+terminal analytics over a corpus snapshot; a long-lived service should
+``spark.catalog.clearCache()`` between corpora.
 """
 
 from __future__ import annotations
