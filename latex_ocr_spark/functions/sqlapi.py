@@ -52,12 +52,24 @@ def _katex_normalize(formulas: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf(T.ArrayType(T.IntegerType()))
-def _bpe_encode(formulas: pd.Series) -> pd.Series:
-    from latex_ocr_spark.textkernel.bpe import default_tokenizer
+def _make_bpe_encode(spark: SparkSession):
+    """Build the bpe_encode UDF with the tokenizer spec *broadcast* —
+    reading resources/tokenizer.json from executor-local disk would
+    break on a real cluster where executors import the package from
+    the --py-files zip (same policy as operators/tokenize.py)."""
+    from latex_ocr_spark.textkernel.bpe import DEFAULT_TOKENIZER_PATH
 
-    tk = default_tokenizer()
-    return formulas.map(lambda s: tk.encode(s) if s is not None else None)
+    spec = open(DEFAULT_TOKENIZER_PATH, "rb").read()  # driver-side read
+    bc = spark.sparkContext.broadcast(spec)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _bpe_encode(formulas: pd.Series) -> pd.Series:
+        from latex_ocr_spark.operators.tokenize import _rebuild
+
+        tk = _rebuild(bc)
+        return formulas.map(lambda s: tk.encode(s) if s is not None else None)
+
+    return _bpe_encode
 
 
 def register_sql_functions(spark: SparkSession) -> None:
@@ -66,4 +78,4 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("extract_math_normalized", _extract_math_normalized)
     spark.udf.register("latex_post_process", _post_process)
     spark.udf.register("latex_katex_normalize", _katex_normalize)
-    spark.udf.register("bpe_encode", _bpe_encode)
+    spark.udf.register("bpe_encode", _make_bpe_encode(spark))

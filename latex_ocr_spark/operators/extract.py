@@ -94,7 +94,7 @@ def extract_spans(
     buys vectorization (the reference's size-bucket batching), and
     useful when upstream partitions are skewed in row size.
     """
-    spans, _failed = extract_spans_with_failures(
+    spans, _failed, _raw = extract_spans_with_failures(
         transcripts, repartition=repartition, salt_buckets=salt_buckets
     )
     return spans
@@ -105,15 +105,17 @@ def extract_spans_with_failures(
     repartition: Optional[int] = None,
     salt_buckets: Optional[int] = None,
     persist_raw: bool = False,
-) -> Tuple[DataFrame, DataFrame]:
-    """(spans, failed_turns) pair from one pass over the text.
+) -> Tuple[DataFrame, DataFrame, Optional[DataFrame]]:
+    """(spans, failed_turns, raw_handle) from one pass over the text.
 
     ``failed_turns`` carries the turns whose macro expansion blew up
     (quarantine table input, SURVEY.md §4 retry semantics).
 
     Both outputs filter the same UDF stage; a caller that materializes
-    both should pass ``persist_raw=True`` so the Python stage runs once
-    (and own the unpersist via the returned frames' lineage root).
+    both should pass ``persist_raw=True`` so the Python stage runs
+    once.  ``raw_handle`` is the persisted frame to ``unpersist()``
+    after use (None unless ``persist_raw``) — returned explicitly so
+    ownership of the cache is visible at the call site.
     """
     candidates = candidate_filter(
         transcripts.select("conv_id", "turn_idx", "text")
@@ -129,10 +131,7 @@ def extract_spans_with_failures(
     failed = raw.filter(F.col("span_idx") == FAILED_TURN_SPAN_IDX).select(
         "conv_id", "turn_idx"
     )
-    if persist_raw:
-        # hand the cache handle to the caller for unpersist-after-use
-        spans._persisted_raw = raw  # type: ignore[attr-defined]
-    return spans, failed
+    return spans, failed, (raw if persist_raw else None)
 
 
 def with_stable_order(spans: DataFrame) -> DataFrame:

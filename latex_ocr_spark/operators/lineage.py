@@ -89,52 +89,54 @@ def run_resumable_extract(
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     started = time.time()
+    raw_handle = None
+    try:
+        spans, failed, raw_handle = extract_spans_with_failures(
+            pending.select("conv_id", "turn_idx", "text"), persist_raw=True
+        )
+        spans = with_work_key(spans, n_units)
+        failed = with_work_key(failed, n_units)
 
-    spans, failed = extract_spans_with_failures(
-        pending.select("conv_id", "turn_idx", "text"), persist_raw=True
-    )
-    raw_handle = getattr(spans, "_persisted_raw", None)
-    spans = with_work_key(spans, n_units)
-    failed = with_work_key(failed, n_units)
+        # 1. output commit — dynamic overwrite touches only pending units'
+        # directories (completed units' data is never rewritten)
+        spans.write.mode("overwrite").partitionBy("work_key").parquet(output_path)
 
-    # 1. output commit — dynamic overwrite touches only pending units'
-    # directories (completed units' data is never rewritten)
-    spans.write.mode("overwrite").partitionBy("work_key").parquet(output_path)
+        if fail_on_units and set(unit_rows) & set(fail_on_units):
+            raise RuntimeError("injected crash between output and lineage commit")
 
-    if fail_on_units and set(unit_rows) & set(fail_on_units):
+        # 2. lineage commit (append) — marks the units done
+        metrics = (
+            spans.groupBy("work_key")
+            .agg(
+                F.countDistinct("conv_id", "turn_idx").alias("n_turns"),
+                F.count(F.lit(1)).alias("n_spans"),
+                _unit_checksum().alias("checksum"),
+            )
+            .join(
+                failed.groupBy("work_key").agg(F.count(F.lit(1)).alias("n_failed")),
+                "work_key",
+                "left",
+            )
+            .na.fill({"n_failed": 0})
+        )
+        # units whose every turn yielded zero spans still need a lineage row
+        all_pending = pending.select("work_key").distinct()
+        metrics = (
+            all_pending.join(metrics, "work_key", "left")
+            .na.fill({"n_turns": 0, "n_spans": 0, "n_failed": 0, "checksum": 0})
+            .withColumn("started", F.lit(int(started)).cast("long"))
+            .withColumn("finished", F.lit(int(time.time())).cast("long"))
+            .withColumn("attempt", F.lit(1))
+        )
+        metrics.write.mode("append").parquet(lineage_path)
+    finally:
+        # any failure path must not leak the dynamic overwrite mode
+        # session-wide nor leave the raw extraction frame cached
         if raw_handle is not None:
             raw_handle.unpersist()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
-        raise RuntimeError("injected crash between output and lineage commit")
-
-    # 2. lineage commit (append) — marks the units done
-    metrics = (
-        spans.groupBy("work_key")
-        .agg(
-            F.countDistinct("conv_id", "turn_idx").alias("n_turns"),
-            F.count(F.lit(1)).alias("n_spans"),
-            _unit_checksum().alias("checksum"),
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode
         )
-        .join(
-            failed.groupBy("work_key").agg(F.count(F.lit(1)).alias("n_failed")),
-            "work_key",
-            "left",
-        )
-        .na.fill({"n_failed": 0})
-    )
-    # units whose every turn yielded zero spans still need a lineage row
-    all_pending = pending.select("work_key").distinct()
-    metrics = (
-        all_pending.join(metrics, "work_key", "left")
-        .na.fill({"n_turns": 0, "n_spans": 0, "n_failed": 0, "checksum": 0})
-        .withColumn("started", F.lit(int(started)).cast("long"))
-        .withColumn("finished", F.lit(int(time.time())).cast("long"))
-        .withColumn("attempt", F.lit(1))
-    )
-    metrics.write.mode("append").parquet(lineage_path)
-    if raw_handle is not None:
-        raw_handle.unpersist()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
     return len(unit_rows)
 
 

@@ -114,7 +114,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     touches only the sampled frames.  This is the 100 TB-relevant half
     of frame sampling; the pixel fetch plugs into ``_decode_stub``.
     """
-    v = media.filter(F.col("kind") == "video")
+    # rows with missing/zero/one-frame metadata would make
+    # sequence(0, n-1, step) throw (negative range) or divide by zero —
+    # they carry no sampleable frames, so gate them out rather than
+    # failing the whole job on one malformed row
+    v = media.filter(
+        (F.col("kind") == "video") & (F.col("meta.n_frames") >= 1)
+    )
     n = F.col("meta.n_frames")
     dur = F.col("meta.duration_ms")
     fps_ms = F.when(n > 1, dur / (n - 1)).otherwise(F.lit(None))

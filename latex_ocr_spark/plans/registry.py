@@ -1111,7 +1111,7 @@ def extract_failures(spark, sf):
         "conv_id string, turn_idx int, text string",
     )
     base = transcripts.select("conv_id", "turn_idx", "text").unionByName(poison)
-    _spans, failed = extract_spans_with_failures(base)
+    _spans, failed, _raw = extract_spans_with_failures(base)
     return failed
 
 

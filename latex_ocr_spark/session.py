@@ -29,7 +29,10 @@ def _package_zip() -> str:
     with zipfile.ZipFile(out, "w") as zf:
         for dirpath, _dirnames, filenames in os.walk(pkg_dir):
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .json rides along so executor-side kernels that read
+                # packaged resources (e.g. resources/tokenizer.json via
+                # the SQL bpe_encode UDF) resolve them from the zip too
+                if fn.endswith((".py", ".json")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, _REPO_ROOT))
     return out

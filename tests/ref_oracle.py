@@ -15,6 +15,7 @@ import ast
 import importlib.util
 import sys
 import types
+import warnings
 from functools import lru_cache
 
 REF_ROOT = "/root/reference/pix2tex"
@@ -48,7 +49,12 @@ def ref_post_process():
     """Extract utils.post_process (utils/utils.py:138-160) without
     importing its torch/cv2-heavy module."""
     src = open(f"{REF_ROOT}/utils/utils.py").read()
-    tree = ast.parse(src)
+    # the reference source contains non-raw '\W' string literals —
+    # parse under a local filter so -W error runs don't die on *their*
+    # SyntaxWarning/DeprecationWarning
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tree = ast.parse(src)
     fn = next(
         n
         for n in tree.body

@@ -65,7 +65,7 @@ def test_failed_turns_are_quarantined(spark):
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
     df = spark.createDataFrame(pdf[["conv_id", "turn_idx", "text"]])
-    spans, failed = extract_spans_with_failures(df, repartition=2)
+    spans, failed, _raw = extract_spans_with_failures(df, repartition=2)
     assert [(r.conv_id, r.turn_idx) for r in failed.collect()] == [("c1", 0)]
     assert [(r.raw_match) for r in spans.collect()] == ["x+1"]
 

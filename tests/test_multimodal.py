@@ -56,3 +56,20 @@ def test_frame_sample_plan(spark):
     assert sorted(plan[2])[1][1] == 1000  # second sample at ~1 s
     # 5 frames over 2 s → 500 ms/frame → step 2
     assert [f for f, _ in sorted(plan[3])] == [0, 2, 4]
+
+
+def test_frame_sample_plan_gates_unframeable_rows(spark):
+    # n_frames = 0 / None rows must be dropped, not throw on
+    # sequence(0, -1, step) — one malformed row must not fail the job
+    rows = _media_rows() + [
+        (4, "video", "video/mp4", bytearray(b""),
+         {"width": 1, "height": 1, "duration_ms": 1000, "sample_rate": None, "n_frames": 0}),
+        (5, "video", "video/mp4", bytearray(b""),
+         {"width": 1, "height": 1, "duration_ms": 1000, "sample_rate": None, "n_frames": None}),
+        (6, "video", "video/mp4", bytearray(b""),
+         {"width": 1, "height": 1, "duration_ms": 1000, "sample_rate": None, "n_frames": 1}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id for r in frame_sample_plan(df, every_ms=1000).collect()}
+    assert 4 not in got and 5 not in got
+    assert 6 in got  # single-frame video still yields frame 0
