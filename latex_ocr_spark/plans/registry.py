@@ -235,6 +235,129 @@ def x7_opname_collapse(spark, sf):
     return _docs(spark, sf).select("doc_id", t.alias("collapsed"))
 
 
+@register(
+    "x8_arxiv_ids",
+    oracle=r"""
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(
+             'see arXiv:2003.' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+               || ' and 1705.12345v2 (again 2003.'
+               || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+               || '); decoys: 123456.78901 and 1234.5678.',
+             '(^|[^0-9])([0-9]{4}\.[0-9]{5})($|[^0-9])', 2)) AS arxiv_id
+    FROM documents
+    """,
+)
+def x8_arxiv_ids(spark, sf):
+    r"""T15 arXiv-id extraction (arxiv.py:23 ``(?<!\d)(\d{4}\.\d{5})(?!\d)``,
+    get_all_arxiv_ids:27-32).  Spark runs the reference's exact
+    lookaround pattern; the RE2 oracle uses boundary groups, equivalent
+    on this input (ids are never separated by a single character).
+    The repeated id exercises the reference's set-dedup; the decoys
+    exercise both lookarounds (digit before / too-short fraction)."""
+    pad = F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0")
+    t = F.concat(
+        F.lit("see arXiv:2003."), pad,
+        F.lit(" and 1705.12345v2 (again 2003."), pad,
+        F.lit("); decoys: 123456.78901 and 1234.5678."),
+    )
+    return (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(t, F.lit(r"(?<!\d)(\d{4}\.\d{5})(?!\d)"), 1)
+            ).alias("arxiv_id"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "x9_wiki_links",
+    oracle=r"""
+    SELECT DISTINCT doc_id, link FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               '<a href="/wiki/Page_' || doc_id || '">x</a>'
+                 || '<a href="/wiki/Talk:Skip_' || doc_id || '">y</a>'
+                 || '<a href="/wiki/Page_' || doc_id || '">dup</a>'
+                 || '<a href="/wiki/Algebra_(area)">z</a>',
+               'href="/wiki/(.*?)"', 1)) AS link
+      FROM documents)
+    WHERE NOT contains(link, ':')
+    """,
+)
+def x9_wiki_links(spark, sf):
+    """T16 wiki link extraction (scraping.py:14 ``href="/wiki/(.*?)"``,
+    parse_wiki:78: colon-namespaced pages dropped, set-dedup) — same
+    pattern in both engines (RE2-safe)."""
+    t = F.concat(
+        F.lit('<a href="/wiki/Page_'), _id(), F.lit('">x</a>'),
+        F.lit('<a href="/wiki/Talk:Skip_'), _id(), F.lit('">y</a>'),
+        F.lit('<a href="/wiki/Page_'), _id(), F.lit('">dup</a>'),
+        F.lit('<a href="/wiki/Algebra_(area)">z</a>'),
+    )
+    return (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(t, F.lit(r'href="/wiki/(.*?)"'), 1)).alias(
+                "link"
+            ),
+        )
+        .filter(~F.col("link").contains(":"))
+        .distinct()
+    )
+
+
+@register(
+    "x10_stackexchange_links",
+    oracle=r"""
+    SELECT DISTINCT doc_id, qpath FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               'see https://math.stackexchange.com/questions/'
+                 || doc_id || '/eigen-values and /questions/'
+                 || doc_id || '/self-link plus'
+                 || ' https://physics.stackexchange.com/questions/7/other-site',
+               '/questions/([0-9]+/[a-zA-Z0-9_/-]+)', 1)) AS qpath
+      FROM documents)
+    WHERE NOT contains(qpath, 'other-site')
+    """,
+)
+def x10_stackexchange_links(spark, sf):
+    r"""T16 stack-exchange question-link extraction (scraping.py:17
+    ``(?:(https:\/\/\w+)\.stack\w+\.com|)\/questions\/(\d+\/[\w\d\/-]+)``,
+    parse_stack_exchange:84 ``url.startswith(l[0])``).
+
+    Spark runs the reference's pattern and its exact keep rule: the
+    host group is '' for relative links (always kept — startswith('')
+    is True) and must prefix the page URL for absolute links, so the
+    same-site math link survives and the physics one drops.  The RE2
+    oracle extracts all /questions/ paths and drops the other-site one
+    by its constructed marker — equivalent on this input."""
+    page_url = "https://math.stackexchange.com/questions/0/page"
+    t = F.concat(
+        F.lit("see https://math.stackexchange.com/questions/"), _id(),
+        F.lit("/eigen-values and /questions/"), _id(),
+        F.lit("/self-link plus"),
+        F.lit(" https://physics.stackexchange.com/questions/7/other-site"),
+    )
+    pat = r"(?:(https:\/\/\w+)\.stack\w+\.com|)\/questions\/(\d+\/[\w\d\/-]+)"
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(t, F.lit(pat), 1).alias("host"),
+        F.regexp_extract_all(t, F.lit(pat), 2).alias("qpath"),
+    )
+    return (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(pairs).alias("m"))
+        .filter(F.lit(page_url).startswith(F.coalesce(F.col("m.host"), F.lit(""))))
+        .select("doc_id", F.col("m.qpath").alias("qpath"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operators (F/J/A/W families) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -423,14 +546,18 @@ def j1_index_equijoin(spark, sf):
     "j2_anti_join",
     oracle="""
     SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
     """,
 )
 def j2_anti_join(spark, sf):
     """J2/J3 visited-set anti-join (scraping.py:46, render.py:48-51):
-    customers with no orders."""
+    customers with no high-value order.  The price gate keeps the
+    anti-join result nonempty at every test scale — r1's ungated form
+    returned 0 rows (every customer had an order), so the oracle check
+    passed vacuously."""
     c = load_table(spark, "customer", sf)
-    o = load_table(spark, "orders", sf)
+    o = load_table(spark, "orders", sf).filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -595,15 +722,17 @@ def a8_supplier_balance_by_region(spark, sf):
     SELECT p_brand, CAST(p_size // 10 AS INT) AS size_bucket, count(*) AS n_parts,
            CAST(round(avg(CAST(p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_price
     FROM part
-    WHERE p_type LIKE '%a%'
+    WHERE p_type LIKE '%A%'
     GROUP BY p_brand, CAST(p_size // 10 AS INT)
     """,
 )
 def a9_part_size_histogram(spark, sf):
-    """Filter + two-key hash aggregation with a LIKE predicate."""
+    """Filter + two-key hash aggregation with a LIKE predicate.
+    This testdata's p_type values are uppercase (LARGE, ECONOMY, …) —
+    r1's '%a%' matched zero rows and passed vacuously."""
     p = load_table(spark, "part", sf)
     return (
-        p.filter(F.col("p_type").like("%a%"))
+        p.filter(F.col("p_type").like("%A%"))
         .groupBy(
             "p_brand", F.floor(F.col("p_size") / 10).cast("int").alias("size_bucket")
         )
@@ -777,10 +906,14 @@ def ann_cosine_topk(spark, sf):
 @register(
     "dedup_embedding_cosine",
     oracle="""
-    WITH v AS (
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5),
+    v AS (
       SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings WHERE vec_id < 200)
+      FROM base)
     SELECT a.id AS a_id, b.id AS b_id,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
@@ -791,9 +924,17 @@ def ann_cosine_topk(spark, sf):
 )
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup pairs — exact all-pairs baseline
-    (LSH-bucketed variant is the scale path, same operator)."""
+    (LSH-bucketed variant is the scale path, same operator).
+
+    Five planted exact copies (vec_id+100000) guarantee above-threshold
+    pairs at every scale, so the oracle actually checks the cosine
+    arithmetic — this testdata's organic pair max is ~0.44 and r1's
+    unplanted query passed vacuously on 0 rows."""
     emb = load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 200)
-    return S.cosine_dup_pairs(emb, threshold=0.5)
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return S.cosine_dup_pairs(emb.unionByName(planted), threshold=0.5)
 
 
 @register("ann_lsh_topk")  # xxhash64 plane coefficients — rows-only
