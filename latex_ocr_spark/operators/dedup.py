@@ -225,26 +225,40 @@ def lsh_verified_pairs(
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per document, JVM-side.
+    """64-bit SimHash per document — zero shuffles.
 
-    Token hash = xxhash64 (Spark-native, stable across sessions); bit
-    votes aggregated with explode + bit arithmetic.  Not expressible in
-    the DuckDB oracle (different hash family) → rows-only check.
+    Token hash = xxhash64 (Spark-native, stable across sessions).  The
+    input has one row per document, so the whole computation — token
+    hashes, 64 bit votes, final signature — is per-row higher-order
+    array arithmetic inside one codegen'd project; nothing ever leaves
+    its scan partition.  (The r1 implementation exploded 64 rows per
+    token through two shuffles: 64× shuffle amplification for a
+    metadata-sized output.  Parity with it is frozen in
+    tests/test_dedup.py and resources/goldens/simhash64.parquet.)
+
+    Documents with zero tokens are dropped (the r1 explode semantics).
     """
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
-    h = tok.withColumn("h", F.xxhash64("tok"))
-    bits = h.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        "vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
-    )
-    votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    toks = _tokens(text_col)
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .withColumn("_hashes", F.expr("transform(_toks, t -> xxhash64(t))"))
+        .withColumn(
+            "_votes",
+            F.expr(
+                "aggregate(_hashes, array_repeat(CAST(0 AS BIGINT), 64),"
+                " (acc, h) -> zip_with(acc,"
+                "   transform(sequence(0, 63),"
+                "     b -> IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),"
+                "   (a, v) -> a + v))"
+            ),
+        )
+        .select(
+            "id",
+            F.expr(
+                "aggregate(zip_with(_votes, sequence(0, 63),"
+                "   (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("simhash"),
+        )
     )

@@ -674,14 +674,16 @@ def w2_sorted_corpus(spark, sf):
     """,
 )
 def w6_line_numbering(spark, sf):
-    """W6 line-number assignment (dataset.py:59-60).  Scale note: a
-    global row_number is single-partition; at 100 TB the engine derives
-    ids from (partition_id, local row_number) instead — this query is
-    the semantic contract."""
-    w = Window.orderBy("doc_id")
-    return _docs(spark, sf).select(
-        F.row_number().over(w).cast("long").alias("eq_id"), "doc_id"
-    )
+    """W6 line-number assignment (dataset.py:59-60) — distributed:
+    range-repartition + per-partition row_number + broadcast offsets
+    (operators/ids.py), no single-partition exchange anywhere.  The
+    oracle's global ``row_number() OVER (ORDER BY doc_id)`` is the
+    semantic contract; tests/test_ids.py asserts the plan shape."""
+    from latex_ocr_spark.operators.ids import with_global_ids
+
+    return with_global_ids(
+        _docs(spark, sf).select("doc_id"), ["doc_id"], id_col="eq_id"
+    ).select("eq_id", "doc_id")
 
 
 @register(
@@ -1366,5 +1368,8 @@ def corpus_build(spark, sf):
 
     schema = T.StructType([T.StructField("formula", T.StringType())])
     corpus = distinct.mapInPandas(norm, schema=schema).distinct()
-    w = Window.orderBy("formula")
-    return corpus.select(F.row_number().over(w).alias("eq_id"), "formula")
+    from latex_ocr_spark.operators.ids import with_global_ids
+
+    return with_global_ids(corpus, ["formula"], id_col="eq_id").select(
+        F.col("eq_id").cast("int").alias("eq_id"), "formula"
+    )

@@ -1,0 +1,71 @@
+"""Dedup operator guarantees that the oracle comparison can't see:
+simhash parity with the r1 explode implementation (frozen semantics),
+the pure-Python XXH64 used for golden generation, and the zero-shuffle
+plan shape of the rewritten simhash."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from pyspark.sql import functions as F
+
+from latex_ocr_spark.operators.dedup import _tokens, simhash64
+
+
+def _simhash64_r1(docs, text_col="text", id_col="doc_id"):
+    """The round-1 explode implementation, kept verbatim as the frozen
+    semantic baseline for the zero-shuffle rewrite."""
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    bits = h.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"), F.col("h")
+    ).withColumn(
+        "vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
+    )
+    votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def test_simhash_parity_with_r1_impl(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    old = {r.id: r.simhash for r in _simhash64_r1(docs).collect()}
+    new = {r.id: r.simhash for r in simhash64(docs).collect()}
+    assert old == new
+    assert len(new) == docs.count()
+
+
+def test_simhash_zero_token_docs_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "   "), (2, "")], "doc_id long, text string"
+    )
+    got = {r.id for r in simhash64(docs).collect()}
+    assert got == {0}  # explode semantics: token-less docs emit nothing
+
+
+def test_simhash_plan_has_no_exchange(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan -> filter -> project only
+
+
+def test_pyxxh64_matches_spark(spark):
+    from tools.pyxxh64 import xxh64
+
+    cases = [
+        "", "a", "ab", "abc", "1234567", "12345678", "123456789",
+        "0123456789abcdef0123456789abcde",     # 31 B: < one stripe
+        "0123456789abcdef0123456789abcdef",    # 32 B: exactly one stripe
+        "x" * 33, "y" * 100, "\\frac{1}{2}", "λ∑ unicode", "a b  c\td\n",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in df.collect():
+        assert xxh64(r.s.encode("utf-8")) == r.h, repr(r.s)
