@@ -35,6 +35,10 @@ from latex_ocr_spark.textkernel.mathfind import RE_DOLLAR, RE_EQUATION
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: committed golden parquet oracles (tools/make_goldens.py regenerates
+#: them Spark-free from the parity-tested pure-Python kernels)
+GOLDEN_DIR = "/root/repo/resources/goldens"
+
 QUERIES: Dict[str, QueryFn] = {}
 ORACLES: Dict[str, str] = {}
 
@@ -873,7 +877,18 @@ def dedup_lsh_jaccard(spark, sf):
     return D.lsh_verified_pairs(_docs(spark, sf), threshold=0.5, ngram=3)
 
 
-@register("dedup_simhash")  # xxhash64 — Spark-only, rows-only check
+@register(
+    "dedup_simhash",
+    # golden keyed by content (md5 of text), not doc_id, so one golden
+    # covers every scale factor; simhash values are recomputed
+    # Spark-free with the pure-Python XXH64 (tools/pyxxh64.py)
+    oracle=f"""
+    SELECT d.doc_id AS id, g.simhash
+    FROM documents d
+    JOIN read_parquet('{GOLDEN_DIR}/simhash64.parquet') g
+      ON md5(d.text) = g.text_md5
+    """,
+)
 def dedup_simhash(spark, sf):
     return D.simhash64(_docs(spark, sf))
 
@@ -1076,10 +1091,14 @@ def eval_edit_distance(spark, sf):
     )
 
 
-@register("eval_pipeline_metrics")  # Python metrics kernel — rows-only
+@register(
+    "eval_pipeline_metrics",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/eval_pipeline_metrics.parquet')",
+)
 def eval_pipeline_metrics(spark, sf):
     """Full E1-E4 rollup over the extraction+tokenize+decode loop; the
-    invariant (exact_match_rate == BLEU == 1.0) is asserted in pytest."""
+    invariant (exact_match_rate == BLEU == 1.0) is asserted in pytest.
+    Oracle = golden parquet recomputed Spark-free (make_goldens.py)."""
     from latex_ocr_spark.operators.evalmetrics import metric_rollup, score_pairs
     from latex_ocr_spark.operators.inference import infer_spans
     from latex_ocr_spark.operators.tokenize import with_tokens
@@ -1094,15 +1113,29 @@ def eval_pipeline_metrics(spark, sf):
     return metric_rollup(score_pairs(pairs))
 
 
-@register("tok_bpe_ids")  # broadcast-BPE python kernel — rows-only
+@register(
+    "tok_bpe_ids",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/tok_bpe_ids.parquet')",
+)
 def tok_bpe_ids(spark, sf):
-    """M6 tokenize + F6 seq-len gate over extracted spans."""
+    """M6 tokenize + F6 seq-len gate over extracted spans.
+
+    The ``tokens array<int>`` column is projected to ``to_json`` + size
+    for the comparison surface — the driver's canonicalization hashes
+    rows and cannot hash raw arrays (r1's two `err` rows).  Oracle =
+    golden parquet regenerated Spark-free from the same parity-tested
+    pure-Python kernels (tools/make_goldens.py)."""
     from latex_ocr_spark.operators.tokenize import filter_max_seq_len, with_tokens
 
     spans = extract_spans(
         synth_transcripts(spark, 100).select("conv_id", "turn_idx", "text")
     )
-    return filter_max_seq_len(with_tokens(spans), max_len=512)
+    kept = filter_max_seq_len(with_tokens(spans), max_len=512)
+    return kept.select(
+        "conv_id", "turn_idx", "span_idx", "latex_norm",
+        F.size("tokens").alias("n_tokens"),
+        F.to_json("tokens").alias("tokens_json"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1172,9 +1205,14 @@ def img_probe_bucket(spark, sf):
     )
 
 
-@register("img_preprocess")  # numpy pad/crop kernel — rows-only
+@register(
+    "img_preprocess",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/img_preprocess.parquet')",
+)
 def img_preprocess(spark, sf):
-    """I1 pad chain over synthetic PNGs (decode → bbox crop → ÷32 pad)."""
+    """I1 pad chain over synthetic PNGs (decode → ÷32 pad → re-probe).
+    Input is ``spark.range(200)`` (scale-independent); oracle = golden
+    parquet regenerated Spark-free (tools/make_goldens.py)."""
     from typing import Iterator
 
     import pandas as pd
@@ -1189,17 +1227,17 @@ def img_preprocess(spark, sf):
 
         for pdf in batches:
             pngs = []
-            for did in pdf["doc_id"]:
+            for did in pdf["id"]:
                 w, h = _IMG_SIZES[int(did) % 5]  # in-range sizes only
                 arr = np.full((h, w), 255, dtype=np.uint8)
                 arr[: max(h // 3, 1), : max(w // 3, 1)] = 0
                 pngs.append(encode_png_gray(arr))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+            yield pd.DataFrame({"doc_id": pdf["id"], "png": pngs})
 
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
     )
-    images = _docs(spark, sf).select("doc_id").limit(200).mapInPandas(gen, schema=schema)
+    images = spark.range(200).repartition(8).mapInPandas(gen, schema=schema)
     return preprocess_images(images).select("doc_id", "proc_w", "proc_h")
 
 
@@ -1241,10 +1279,14 @@ def w7_event_time_windows(spark, sf):
     )
 
 
-@register("extract_failures")
+@register(
+    "extract_failures",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/extract_failures.parquet')",
+)
 def extract_failures(spark, sf):
     """Quarantine visibility: turns whose macro expansion failed
-    (reference DemacroError skip policy, arxiv.py:153-156)."""
+    (reference DemacroError skip policy, arxiv.py:153-156).
+    Oracle = golden parquet recomputed Spark-free (make_goldens.py)."""
     from latex_ocr_spark.operators.extract import extract_spans_with_failures
 
     transcripts = synth_transcripts(spark, 150, parallelism=8)
@@ -1258,11 +1300,19 @@ def extract_failures(spark, sf):
     return failed
 
 
-@register("media_features")
+@register(
+    "media_features",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/media_features.parquet')",
+)
 def media_features(spark, sf):
     """Multimodal plumbing: typed binary media columns → batched
-    feature extraction with codec-gap quarantine (rows-only: binary
-    payload construction is not SQL-expressible)."""
+    feature extraction with codec-gap quarantine.
+
+    Input is ``spark.range(120)`` (scale-independent constructed
+    payloads keyed by id); the ``feature array<double>`` column is
+    projected through ``to_json`` so the driver can hash it (r1 `err`
+    row).  Oracle = golden parquet regenerated Spark-free in
+    tools/make_goldens.py from the same codec/histogram kernel."""
     from typing import Iterator
 
     import pandas as pd
@@ -1276,7 +1326,7 @@ def media_features(spark, sf):
 
         for pdf in batches:
             rows = []
-            for did in pdf["doc_id"]:
+            for did in pdf["id"]:
                 did = int(did)
                 if did % 3 == 0:
                     arr = np.full((32, 32), (did * 37) % 256, dtype=np.uint8)
@@ -1290,9 +1340,11 @@ def media_features(spark, sf):
                                  (640, 360, 8000, None, 200)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload", "meta"])
 
-    media = _docs(spark, sf).select("doc_id").limit(120).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    media = spark.range(120).repartition(8).mapInPandas(gen, schema=MEDIA_SCHEMA)
     return extract_media_features(media).select(
-        "media_id", "kind", "n_bytes", "feature", "decode_error"
+        "media_id", "kind", "n_bytes",
+        F.to_json("feature").alias("feature_json"),
+        "decode_error",
     )
 
 
@@ -1328,13 +1380,23 @@ def media_frame_plan(spark, sf):
     return frame_sample_plan(media, every_ms=1000).select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
-@register("extract_transcripts")
+@register(
+    "extract_transcripts",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/extract_transcripts.parquet')",
+)
 def extract_transcripts(spark, sf):
+    """Flagship extraction — oracle is a golden parquet regenerated
+    Spark-free from the parity-tested pure-Python kernel over the same
+    deterministic synthetic transcripts (tools/make_goldens.py), so
+    the driver hash-checks the full distributed pipeline."""
     transcripts = synth_transcripts(spark, 200, parallelism=8)
     return with_stable_order(extract_spans(transcripts, repartition=8))
 
 
-@register("corpus_build")
+@register(
+    "corpus_build",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/corpus_build.parquet')",
+)
 def corpus_build(spark, sf):
     """The reference's complete corpus build (SURVEY §3.2) as one query:
     extract per-turn spans → global dedup → KaTeX-style normalization
