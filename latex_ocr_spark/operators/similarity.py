@@ -112,34 +112,99 @@ def hyperplane_buckets(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, bucket) random-hyperplane LSH signature.
 
     Plane p's coefficient for dimension d is a deterministic pseudo-
-    random ±-free value derived from xxhash64(p ‖ d): portable across
-    runs and executors with zero driver state to broadcast.
+    random ±-free value derived from hash(p ‖ d): portable across runs
+    and executors with zero driver state to broadcast.
+
+    ``hash_fn``: ``xxhash64`` (default — cheapest, Spark-only) or
+    ``md5`` (first 8 hex digits via conv) — the md5 family exists in
+    DuckDB too, making the whole ANN plan oracle-checkable
+    (``ann_lsh_recall``); both give the same bucketing quality.
     """
-    v = _as_double(F.col(vec_col))
+    bucket = _bucket_col(F.col(vec_col), num_planes, hash_fn)
+    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def _bucket_col(vec, num_planes: int, hash_fn: str, key_prefix: str = ""):
+    """Bucket expression for one LSH table; ``key_prefix`` salts the
+    plane family so multiple tables get independent hyperplanes."""
+    v = _as_double(vec)
     signs = []
     for p in range(num_planes):
         # pmod, not %: Spark's % keeps the dividend sign, which would
         # bias every coefficient negative and collapse all non-negative
         # vectors into one bucket
-        coef = lambda x, i, _p=p: x * (
-            F.pmod(
-                F.xxhash64(F.concat(F.lit(f"{_p}#"), i.cast("string"))), F.lit(1000)
-            ).cast("double")
-            / 1000.0
-            - 0.4995
-        )
+        if hash_fn == "md5":
+            coef = lambda x, i, _p=p: x * (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{key_prefix}{_p}#"), i.cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(1000),
+                ).cast("double")
+                / 1000.0
+                - 0.4995
+            )
+        else:
+            coef = lambda x, i, _p=p: x * (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(F.lit(f"{key_prefix}{_p}#"), i.cast("string"))
+                    ),
+                    F.lit(1000),
+                ).cast("double")
+                / 1000.0
+                - 0.4995
+            )
         proj = F.aggregate(
-            F.zip_with(v, F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: i), lambda x, i: coef(x, i)),
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: i),
+                lambda x, i: coef(x, i),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         signs.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
-    bucket = sum(signs[1:], signs[0])
-    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return sum(signs[1:], signs[0])
+
+
+def multitable_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 4,
+    num_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, table_idx, bucket) over ``num_tables`` independent plane
+    families — the standard recall lever: a pair is a candidate if it
+    collides in ANY table, so recall ≈ 1-(1-s^p)^L instead of s^p.
+    One row per (vector, table); all bucket math is a single codegen'd
+    projection before the explode."""
+    cols = F.array(
+        *[
+            _bucket_col(F.col(vec_col), num_planes, hash_fn, key_prefix=f"{t}:")
+            for t in range(num_tables)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(cols).alias("table_idx", "bucket")
+    )
 
 
 def lsh_cosine_topk(
@@ -149,20 +214,38 @@ def lsh_cosine_topk(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+    num_tables: int = 1,
 ) -> DataFrame:
     """ANN variant: exact re-rank restricted to hyperplane buckets.
 
     Recall < 1 by construction; at corpus scale the bucket join reduces
-    the scored pairs by ~2^num_planes versus brute force.
+    the scored pairs by ~2^num_planes versus brute force.  Raise
+    ``num_tables`` to trade candidate volume for recall (union of
+    collisions across independent plane families).
     """
-    b_corpus = hyperplane_buckets(embeddings, num_planes, id_col, vec_col)
-    b_query = hyperplane_buckets(queries, num_planes, id_col, vec_col)
+    if num_tables > 1:
+        b_corpus = multitable_buckets(
+            embeddings, num_planes, num_tables, id_col, vec_col, hash_fn
+        )
+        b_query = multitable_buckets(
+            queries, num_planes, num_tables, id_col, vec_col, hash_fn
+        )
+        join_keys = ["table_idx", "bucket"]
+    else:
+        b_corpus = hyperplane_buckets(embeddings, num_planes, id_col, vec_col, hash_fn)
+        b_query = hyperplane_buckets(queries, num_planes, id_col, vec_col, hash_fn)
+        join_keys = ["bucket"]
     cand = (
         b_query.withColumnRenamed("id", "query_id")
-        .join(b_corpus.withColumnRenamed("id", "neighbor_id"), "bucket")
+        .join(b_corpus.withColumnRenamed("id", "neighbor_id"), join_keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
+    if num_tables > 1:
+        # a pair can collide in several tables; single-table pairs are
+        # already unique, so don't pay the dedup shuffle there
+        cand = cand.distinct()
     qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     cv = embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     scored = (

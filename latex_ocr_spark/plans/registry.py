@@ -961,6 +961,109 @@ def ann_lsh_topk(spark, sf):
 
 
 @register(
+    "ann_lsh_recall",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM base),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                   c.neighbor_id) AS rank
+        FROM q, c WHERE q.query_id <> c.neighbor_id)
+      WHERE rank <= 5),
+    vb AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM base),
+    buckets AS (
+      SELECT id, t AS table_idx,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(4), p ->
+          CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(len(v)), d ->
+                   v[d+1] * ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 1000)
+                             / 1000.0 - 0.4995))),
+                 (acc, x) -> acc + x) >= 0
+          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+          (a, b) -> a + b) AS bucket
+      FROM vb CROSS JOIN (SELECT unnest(range(2)) AS t) tables),
+    cand AS (
+      SELECT DISTINCT bq.id AS query_id, bc.id AS neighbor_id
+      FROM buckets bq JOIN buckets bc
+        ON bq.table_idx = bc.table_idx AND bq.bucket = bc.bucket AND bq.id <> bc.id
+      WHERE bq.id < 5),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               row_number() OVER (PARTITION BY cand.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
+                   cand.neighbor_id) AS rank
+        FROM cand
+        JOIN q ON q.query_id = cand.query_id
+        JOIN c ON c.neighbor_id = cand.neighbor_id)
+      WHERE rank <= 5)
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_lsh_recall(spark, sf):
+    """ANN quality as a driver-checkable scalar per query: recall of
+    the multi-table hyperplane-LSH top-k against the exact top-k, over
+    the corpus plus five planted exact copies (vec_id+100000).
+
+    The planted copy is each query's true nearest neighbor (cosine
+    1.0) and collides in every table, so recall ≥ 0.2 whenever the
+    mechanism works at all — a collapsed bucketing shows up as a hard
+    zero, not as a vacuous pass.  Two tables of four planes make the
+    organic neighbors findable too (recall ≈ 1-(1-s^4)^2 per
+    neighbor).  Uses the md5 plane family so the entire ANN plan —
+    buckets, candidate join, re-rank — is reproduced in the DuckDB
+    oracle by the same strict left-fold arithmetic; the xxhash64
+    family stays the cheap default (``ann_lsh_topk``, rows-only)."""
+    emb = load_table(spark, "embeddings", sf)
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(planted)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(corpus, queries, k=5)
+    ann = S.lsh_cosine_topk(
+        corpus, queries, k=5, num_planes=4, num_tables=2, hash_fn="md5"
+    )
+    hits = exact.join(
+        ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.col("n_exact"), 4))
+    )
+
+
+@register(
     "text_token_count",
     oracle=r"""
     SELECT CAST(doc_id AS BIGINT) AS id,
