@@ -78,19 +78,21 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
     With ``num_planes`` > 0 candidates are restricted to hyperplane-LSH
     buckets first (the 100 TB path — all-pairs work shrinks by ~2^planes
     at some recall cost); 0 = exact all-pairs, used as the oracle-
-    checkable baseline at test scale.
+    checkable baseline at test scale.  ``hash_fn='md5'`` makes the
+    bucketed path itself oracle-checkable (``dedup_embedding_lsh``).
     """
     v = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     if num_planes:
-        b = hyperplane_buckets(embeddings, num_planes, id_col, vec_col)
+        b = hyperplane_buckets(embeddings, num_planes, id_col, vec_col, hash_fn)
         a_side = v.join(b, "id").select(F.col("id").alias("a_id"), F.col("v").alias("av"), "bucket")
         b_side = v.join(b, "id").select(F.col("id").alias("b_id"), F.col("v").alias("bv"), "bucket")
         pairs = a_side.join(b_side, ["bucket"]).filter(F.col("a_id") < F.col("b_id"))

@@ -954,6 +954,55 @@ def dedup_embedding_cosine(spark, sf):
     return S.cosine_dup_pairs(emb.unionByName(planted), threshold=0.5)
 
 
+@register(
+    "dedup_embedding_lsh",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5),
+    v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM base),
+    buckets AS (
+      SELECT id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(4), p ->
+          CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(len(v)), d ->
+                   v[d+1] * ((CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 1000)
+                             / 1000.0 - 0.4995))),
+                 (acc, x) -> acc + x) >= 0
+          THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+          (a, b) -> a + b) AS bucket
+      FROM v)
+    SELECT a.id AS a_id, b.id AS b_id,
+           round(list_dot_product(va.v, vb.v)
+                 / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 4) AS cosine
+    FROM buckets a
+    JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id
+    JOIN v va ON va.id = a.id
+    JOIN v vb ON vb.id = b.id
+    WHERE round(list_dot_product(va.v, vb.v)
+                / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 4) >= 0.5
+    """,
+)
+def dedup_embedding_lsh(spark, sf):
+    """The *bucketed* embedding near-dup path (cosine_dup_pairs with
+    num_planes=4) — the 100 TB plan — oracle-checked end-to-end via the
+    md5 plane family: bucket assignment, in-bucket pair join, cosine
+    threshold all reproduced in DuckDB.  Planted exact copies collide
+    by construction, so the candidate mechanism is exercised at every
+    scale (r1 only oracle-checked the exact all-pairs baseline)."""
+    emb = load_table(spark, "embeddings", sf).filter(F.col("vec_id") < 200)
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return S.cosine_dup_pairs(
+        emb.unionByName(planted), threshold=0.5, num_planes=4, hash_fn="md5"
+    )
+
+
 @register("ann_lsh_topk")  # xxhash64 plane coefficients — rows-only
 def ann_lsh_topk(spark, sf):
     emb = load_table(spark, "embeddings", sf)
@@ -1481,6 +1530,33 @@ def media_frame_plan(spark, sf):
         ).alias("meta"),
     )
     return frame_sample_plan(media, every_ms=1000).select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@register(
+    "s4_arxiv_tarballs",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/s4_arxiv_tarballs.parquet')",
+)
+def s4_arxiv_tarballs(spark, sf):
+    """S4 tarball source (read_tex_files, arxiv.py:50-85): binaryFile
+    scan → in-memory untar → concat .tex members → demacro, with the
+    not-a-tar fallback and the DemacroError quarantine both exercised
+    by the deterministic fixture set.  Oracle = golden parquet from the
+    same pure kernel run Spark-free; reference parity is pinned by
+    tests/test_tarball_source.py against the reference's own
+    read_tex_files."""
+    from latex_ocr_spark.datagen.tarballs import write_fixture_tarballs
+    from latex_ocr_spark.sources.archives import read_tex_archives
+
+    fix_dir = "/tmp/latex_ocr_spark_fixtures/tarballs"
+    write_fixture_tarballs(fix_dir)
+    papers = read_tex_archives(spark, fix_dir)
+    return papers.select(
+        "paper_id",
+        "n_tex_files",
+        "demacro_error",
+        F.md5("tex").alias("tex_md5"),
+        F.length("tex").alias("tex_len"),
+    )
 
 
 @register(

@@ -66,6 +66,29 @@ def ref_post_process():
 
 
 @lru_cache(maxsize=None)
+def ref_read_tex_files():
+    """Extract dataset/arxiv.py:read_tex_files without importing its
+    module (tqdm/torch-adjacent imports are absent in this container).
+    The extracted function gets the reference's own pydemacro."""
+    src = open(f"{REF_ROOT}/dataset/arxiv.py").read()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tree = ast.parse(src)
+    fn = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "read_tex_files"
+    )
+    ns = {
+        m: __import__(m)
+        for m in ("tempfile", "tarfile", "glob", "os", "subprocess", "logging")
+    }
+    ns["pydemacro"] = ref_demacro().pydemacro
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "<ref>", "exec"), ns)
+    return ns["read_tex_files"]
+
+
+@lru_cache(maxsize=None)
 def ref_token2str_source_check() -> str:
     """Raw source of token2str for the detokenizer contract test."""
     return open(f"{REF_ROOT}/utils/utils.py").read()

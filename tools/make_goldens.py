@@ -289,6 +289,40 @@ def make_media_features(feature_dim: int = 8):
     )
 
 
+def make_s4_arxiv_tarballs():
+    import tempfile
+
+    from latex_ocr_spark.datagen.tarballs import write_fixture_tarballs
+    from latex_ocr_spark.sources.archives import paper_from_blob
+
+    rows = []
+    with tempfile.TemporaryDirectory() as d:
+        for path in write_fixture_tarballs(d):
+            pid, n, tex, err = paper_from_blob(path, open(path, "rb").read())
+            rows.append(
+                (
+                    pid,
+                    n,
+                    err,
+                    hashlib.md5(tex.encode("utf-8")).hexdigest() if tex is not None else None,
+                    len(tex) if tex is not None else None,
+                )
+            )
+    cols = list(zip(*rows))
+    _write(
+        "s4_arxiv_tarballs",
+        pa.table(
+            {
+                "paper_id": pa.array(cols[0], pa.string()),
+                "n_tex_files": pa.array(cols[1], pa.int32()),
+                "demacro_error": pa.array(cols[2], pa.string()),
+                "tex_md5": pa.array(cols[3], pa.string()),
+                "tex_len": pa.array(cols[4], pa.int32()),
+            }
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash golden over the real documents tables (content-keyed)
 # ---------------------------------------------------------------------------
@@ -342,6 +376,7 @@ ALL = [
     make_eval_pipeline_metrics,
     make_img_preprocess,
     make_media_features,
+    make_s4_arxiv_tarballs,
     make_simhash64,
 ]
 
