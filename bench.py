@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_jaccard",
+    "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
     "x1_dollar_spans",

@@ -362,6 +362,25 @@ def x10_stackexchange_links(spark, sf):
     )
 
 
+@register(
+    "x11_html_safe_escape",
+    oracle=r"""
+    SELECT doc_id,
+           replace(replace('a_' || doc_id || ' < b > c <d>', '<', '\lt '), '>', '\gt ') AS escaped
+    FROM documents
+    """,
+)
+def x11_html_safe_escape(spark, sf):
+    r"""T17 html-safe escape (gui.py:399: ``.replace('<','\\lt ')
+    .replace('>','\\gt ')``) — the MathJax-display guard, as a column
+    expression."""
+    t = F.concat(F.lit("a_"), _id(), F.lit(" < b > c <d>"))
+    out = F.replace(
+        F.replace(t, F.lit("<"), F.lit(r"\lt ")), F.lit(">"), F.lit(r"\gt ")
+    )
+    return _docs(spark, sf).select("doc_id", out.alias("escaped"))
+
+
 # ---------------------------------------------------------------------------
 # relational operators (F/J/A/W families) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------

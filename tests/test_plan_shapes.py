@@ -1,0 +1,68 @@
+"""Physical-plan guarantees the oracle comparison can't see: filters
+reach the parquet scan, projections prune the read schema, small join
+sides broadcast, and aggregations keep their partial (map-side) step.
+These are the properties that decide whether a plan survives 100×
+scale — asserted here so a regression shows up as a red test, not as
+a slow cluster."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from latex_ocr_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf, name):
+    return QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_filter_pushed_to_scan(spark, sf_small):
+    plan = _plan(spark, sf_small, "f1_dim_range")
+    assert "PushedFilters" in plan
+    # both range bounds of both columns reach the reader
+    for frag in (
+        "GreaterThanOrEqual(l_quantity,10",
+        "LessThanOrEqual(l_quantity,40",
+        "GreaterThanOrEqual(l_extendedprice,1000",
+        "LessThanOrEqual(l_extendedprice,50000",
+    ):
+        assert frag in plan, frag
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    plan = _plan(spark, sf_small, "f1_dim_range")
+    # 16-column lineitem: the scan must read only the two filter/agg cols
+    assert "l_quantity" in plan and "l_extendedprice" in plan
+    assert "l_comment" not in plan and "l_shipmode" not in plan
+
+    plan = _plan(spark, sf_small, "x1_dollar_spans")
+    assert "ReadSchema: struct<doc_id:bigint>" in plan  # text/lang/n_chars pruned
+
+
+def test_star_join_broadcasts_dims(spark, sf_small):
+    plan = _plan(spark, sf_small, "j1_index_equijoin")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_keeps_partial_step(spark, sf_small):
+    # partial_ aggregate functions = map-side combine before the shuffle
+    plan = _plan(spark, sf_small, "a3_pricing_summary")
+    assert "partial_" in plan
+    assert "timestamp" in plan.lower()  # shipdate filter present
+
+
+def test_anti_join_is_join_not_subquery_scan(spark, sf_small):
+    plan = _plan(spark, sf_small, "j2_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_simhash_and_ids_plans(spark, sf_small):
+    # the two plans rewritten this round for scale: zero-exchange
+    # simhash, no-single-partition id assignment
+    from latex_ocr_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assert "Exchange" not in simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in _plan(spark, sf_small, "w6_line_numbering")
