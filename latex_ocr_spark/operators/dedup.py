@@ -76,6 +76,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a_id < b_id, jac ≥ threshold).
 
@@ -83,10 +84,28 @@ def jaccard_pairs(
     approximates.  At 100 TB you run :func:`lsh_candidate_pairs` first
     and this only on the candidates; standalone it is still shuffle-
     bounded by shingle frequency, not O(n²).
+
+    ``max_df`` is the hot-shingle cap: shingles occurring in more than
+    ``max_df`` documents are dropped before the self-join (a shingle in
+    k docs contributes k² join rows — one stop-word-like shingle in
+    every document IS the O(n²) blowup).  Sizes and intersections are
+    both computed over the capped shingle set, so the Jaccard stays
+    internally consistent; scores shift only for pairs whose overlap
+    was dominated by near-universal shingles — exactly the pairs that
+    are spurious at corpus scale.
     """
     # the shingle table feeds both join sides and the size table — a
     # self-join recomputes its lineage per side unless materialized
-    sh = doc_shingles(docs, text_col, id_col, ngram).persist()
+    sh = doc_shingles(docs, text_col, id_col, ngram)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -813,6 +813,40 @@ def dedup_jaccard(spark, sf):
 
 
 @register(
+    "dedup_jaccard_capped",
+    oracle=r"""
+    WITH sh0 AS (
+      SELECT DISTINCT id, shingle FROM (
+        SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS shingle
+        FROM documents) WHERE shingle <> ''),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+    sh AS (
+      SELECT sh0.id, sh0.shingle FROM sh0
+      WHERE sh0.shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = inter.a_id
+    JOIN sizes sb ON sb.id = inter.b_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.3
+    """,
+)
+def dedup_jaccard_capped(spark, sf):
+    """The hot-shingle-capped exact Jaccard (max_df=50): the mitigation
+    for the inverted-index self-join's quadratic blowup on
+    near-universal shingles — a shingle in k docs contributes k² join
+    rows, so capping document frequency bounds the shuffle.  Oracle
+    applies the identical cap."""
+    return D.jaccard_pairs(_docs(spark, sf), threshold=0.3, ngram=1, max_df=50)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=r"""
     WITH tk AS (
@@ -1186,6 +1220,60 @@ def text_quality(spark, sf):
 )
 def text_langid(spark, sf):
     return TS.lang_id(_docs(spark, sf))
+
+
+@register(
+    "a4_command_counter",
+    oracle=r"""
+    SELECT cmd, count(*) AS n_defs FROM (
+      SELECT unnest(regexp_extract_all(
+        '\newcommand{\ca' || doc_id || '}{x} \renewcommand{\ca' || doc_id || '}{y} \newcommand*{\cb}{z}',
+        '\\(?:re)?newcommand\*?\{\\(.+?)\}', 1)) AS cmd
+      FROM documents)
+    GROUP BY cmd
+    """,
+)
+def a4_command_counter(spark, sf):
+    r"""A4 definition-name counter (demacro.py:85-89: findall over the
+    commands pattern → Counter) — re-definitions show up as count > 1.
+    The reference's non-greedy pattern is RE2-safe, so both engines run
+    it verbatim on the constructed definitions."""
+    t = F.concat(
+        F.lit("\\newcommand{\\ca"), _id(), F.lit("}{x} \\renewcommand{\\ca"),
+        _id(), F.lit("}{y} \\newcommand*{\\cb}{z}"),
+    )
+    names = F.regexp_extract_all(
+        t, F.lit(r"\\(?:re)?newcommand\*?\{\\(.+?)\}"), 1
+    )
+    return (
+        _docs(spark, sf)
+        .select(F.explode(names).alias("cmd"))
+        .groupBy("cmd")
+        .agg(F.count(F.lit(1)).alias("n_defs"))
+    )
+
+
+@register(
+    "text_langid_udf",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CASE
+             WHEN list_contains(toks, 'und') OR list_contains(toks, 'der') OR list_contains(toks, 'nicht') THEN 'de'
+             WHEN list_contains(toks, 'el') OR list_contains(toks, 'los') OR list_contains(toks, 'y') THEN 'es'
+             WHEN list_contains(toks, 'the') OR list_contains(toks, 'a') OR list_contains(toks, 'of') THEN 'en'
+             ELSE 'unk'
+           END AS lang_pred
+    FROM t
+    """,
+)
+def text_langid_udf(spark, sf):
+    """The pandas-UDF drop-in seam for language-ID (same oracle as the
+    expression form — the two implementations must agree)."""
+    return TS.lang_id_pandas(_docs(spark, sf))
 
 
 @register(
