@@ -1,0 +1,152 @@
+r"""T18: LaTeX → sympy conversion (gui.py:27-30 ``to_sympy``).
+
+The reference feeds predictions through ``latex2sympy`` after one
+pre-normalization (``operatorname*{f}`` → ``f``, gui.py:28).  That
+package (and both sympy LaTeX parser backends, antlr4/lark) is absent
+in this container, so the kernel:
+
+1. applies the reference's pre-normalization verbatim;
+2. uses ``latex2sympy2``/sympy's ``parse_latex`` when importable
+   (the full-grammar path a real deploy gets for free);
+3. otherwise converts a well-defined LaTeX subset itself —
+   ``\frac``, ``\sqrt``, ``\cdot``/``\times``, ``^``/``_`` scripts,
+   ``\left``/``\right`` fences, greek letters — by rewriting to a
+   sympy-parsable string and ``sympify``-ing it.  Input outside the
+   subset (any surviving backslash command) quarantines with a
+   ``convert_error`` instead of failing the task — same policy as the
+   media codec boundary (operators/multimodal.py).
+
+All per-row work runs in one Arrow-batched stage.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: gui.py:28 — exact reference pre-normalization
+_RE_OPNAME = re.compile(r"operatorname\*{(\w+)}")
+
+_GREEK = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+    "xi pi rho sigma tau upsilon phi chi psi omega Gamma Delta Theta Lambda "
+    "Xi Pi Sigma Upsilon Phi Psi Omega varepsilon vartheta varphi"
+).split()
+
+_RE_FRAC = re.compile(r"\\[dt]?frac\{([^{}]*)\}\{([^{}]*)\}")
+_RE_SQRT = re.compile(r"\\sqrt\{([^{}]*)\}")
+_RE_POW_BRACE = re.compile(r"\^\{([^{}]*)\}")
+_RE_SUB_BRACE = re.compile(r"_\{([a-zA-Z0-9]+)\}")
+
+
+def _resolve_parser():
+    """Full-grammar LaTeX parser if one is installed; None otherwise."""
+    try:  # pragma: no cover — absent in this container
+        from latex2sympy2 import latex2sympy
+
+        return lambda s: latex2sympy(f"${s}$")
+    except ImportError:
+        pass
+    try:  # pragma: no cover — needs antlr4/lark runtime
+        from sympy.parsing.latex import parse_latex
+
+        parse_latex("x")  # probe the backend import
+        return parse_latex
+    except Exception:
+        return None
+
+
+_FULL_PARSER = _resolve_parser()
+
+
+#: names resolved as sympy functions; every other identifier becomes a
+#: plain Symbol (so ``beta``/``gamma``/``E`` don't silently bind to
+#: sympy built-ins)
+_FUNC_WHITELIST = {"sqrt", "sin", "cos", "tan", "log", "exp", "Abs"}
+
+
+def _subset_to_sympy_source(latex: str) -> str:
+    """Rewrite the supported LaTeX subset to a sympify-parsable string;
+    raise NotImplementedError on anything outside it."""
+    s = latex
+    # explicit multiplication where LaTeX uses juxtaposition — the
+    # cases below are unambiguous; anything else that reaches sympify
+    # malformed fails there and quarantines (never silently mis-parse)
+    # …but not before commands that are themselves operators or fences
+    s = re.sub(
+        r"([A-Za-z0-9\)])\s*\\(?!cdot\b|times\b|left\b|right\b)", r"\1*\\", s
+    )  # x\alpha, 2\pi
+    s = re.sub(r"(\d)\s*([A-Za-z\(])", r"\1*\2", s)  # 2x, 3(a+b)
+    s = re.sub(r"\)\s*\(", ")*(", s)  # (a)(b)
+    for _ in range(20):  # innermost-out for nested braces
+        s2 = _RE_SUB_BRACE.sub(r"_\1", s)
+        s2 = _RE_POW_BRACE.sub(r"**(\1)", s2)
+        s2 = _RE_FRAC.sub(r"((\1)/(\2))", s2)
+        s2 = _RE_SQRT.sub(r"sqrt(\1)", s2)
+        if s2 == s:
+            break
+        s = s2
+    s = s.replace(r"\cdot", "*").replace(r"\times", "*")
+    s = s.replace(r"\left", "").replace(r"\right", "")
+    for g in _GREEK:
+        s = re.sub(r"\\%s\b" % g, g, s)
+    s = s.replace("^", "**")
+    s = s.replace("{", "(").replace("}", ")")
+    if "\\" in s:
+        raise NotImplementedError(f"LaTeX outside the supported subset: {latex!r}")
+    return s
+
+
+def latex_to_sympy_str(latex: str) -> str:
+    """str(sympy expression) for a LaTeX string — the pure kernel
+    (golden generation imports this Spark-free)."""
+    import sympy
+
+    normalized = _RE_OPNAME.sub(r"\g<1>", latex)  # gui.py:28
+    if _FULL_PARSER is not None:  # pragma: no cover
+        return str(_FULL_PARSER(normalized))
+    src = _subset_to_sympy_source(normalized)
+    # every identifier is a plain Symbol unless whitelisted as a
+    # function — sympify's default namespace would bind beta/gamma/E/I
+    # to special objects and change semantics underfoot
+    names = set(re.findall(r"[A-Za-z_][A-Za-z_0-9]*", src))
+    local_syms = {
+        n: sympy.Symbol(n) for n in names if n not in _FUNC_WHITELIST
+    }
+    return str(sympy.sympify(src, locals=local_syms, evaluate=True))
+
+
+def convert_checked(latex: Optional[str]) -> Tuple[Optional[str], Optional[str]]:
+    """(sympy_str, convert_error) — never raises."""
+    if latex is None:
+        return None, "null input"
+    try:
+        return latex_to_sympy_str(latex), None
+    except Exception as exc:
+        return None, f"{type(exc).__name__}: {exc}"
+
+
+def with_sympy(df: DataFrame, latex_col: str = "latex_norm") -> DataFrame:
+    """Append ``sympy_str``/``convert_error`` columns."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sympy_str", T.StringType()),
+            T.StructField("convert_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = [convert_checked(s) for s in pdf[latex_col]]
+            pdf["sympy_str"] = [o[0] for o in out]
+            pdf["convert_error"] = [o[1] for o in out]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

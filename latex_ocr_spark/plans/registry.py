@@ -1223,6 +1223,29 @@ def text_langid(spark, sf):
 
 
 @register(
+    "x12_sympy_convert",
+    oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/x12_sympy_convert.parquet')",
+)
+def x12_sympy_convert(spark, sf):
+    r"""T18 LaTeX→sympy conversion (gui.py:27-30) over templated
+    spans: supported subset converts, out-of-subset rows quarantine
+    with ``convert_error`` (same policy as the media codec boundary).
+    Oracle = golden parquet from the same pure kernel run Spark-free."""
+    from latex_ocr_spark.operators.symbolic import with_sympy
+
+    i = F.col("id").cast("string")
+    latex = (
+        F.when(F.col("id") % 5 == 0, F.concat(F.lit("x_{"), i, F.lit("}^2 + \\frac{"), i, F.lit("}{2}")))
+        .when(F.col("id") % 5 == 1, F.concat(F.lit("\\sqrt{a_"), i, F.lit(" + 1} \\cdot \\alpha")))
+        .when(F.col("id") % 5 == 2, F.concat(F.lit("\\left( y + "), i, F.lit(" \\right)^{3}")))
+        .when(F.col("id") % 5 == 3, F.concat(F.lit("\\int_0^"), i, F.lit(" f")))
+        .otherwise(F.concat(F.lit("operatorname*{sin}(t_"), i, F.lit(")")))
+    )
+    df = spark.range(500).select(F.col("id").alias("span_id"), latex.alias("latex_norm"))
+    return with_sympy(df).select("span_id", "sympy_str", "convert_error")
+
+
+@register(
     "a4_command_counter",
     oracle=r"""
     SELECT cmd, count(*) AS n_defs FROM (

@@ -1,0 +1,55 @@
+"""T18 LaTeX→sympy kernel: subset conversion, the reference's
+operatorname* pre-normalization, symbol-vs-builtin hygiene, and the
+quarantine boundary for out-of-subset input."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import pytest
+
+from latex_ocr_spark.operators.symbolic import convert_checked, with_sympy
+
+
+@pytest.mark.parametrize(
+    "latex,expected",
+    [
+        (r"x^2 + \frac{1}{2}", "x**2 + 1/2"),
+        (r"\frac{\frac{a}{b}}{c}", "a/(b*c)"),  # nested fracs
+        (r"\sqrt{x_{10} + 1}", "sqrt(x_10 + 1)"),
+        (r"operatorname*{sin}(x)", "sin(x)"),  # gui.py:28 pre-normalization
+        (r"\left( a + b \right)^{n}", "(a + b)**n"),
+        (r"b \cdot y", "b*y"),
+        (r"2x + 3(y+1)", "2*x + 3*y + 3"),  # juxtaposition = multiplication
+        (r"(a+b)(c-d)", "(a + b)*(c - d)"),
+        (r"e^{i\pi}", "e**(i*pi)"),
+    ],
+)
+def test_subset_conversion(latex, expected):
+    got, err = convert_checked(latex)
+    assert err is None and got == expected
+
+
+def test_builtin_names_stay_symbols():
+    # beta/gamma/E/I are sympy built-ins; as LaTeX identifiers they
+    # must remain plain symbols, not special functions/constants
+    got, err = convert_checked(r"\frac{\alpha}{\beta} + E + I")
+    assert err is None
+    assert "beta" in got and "E + I" in got
+
+
+def test_out_of_subset_quarantines_not_raises():
+    for latex in (r"\int_0^1 f(x) dx", r"\sum_k a_k", r"x(y)", None):
+        got, err = convert_checked(latex)
+        assert got is None and err is not None
+
+
+def test_with_sympy_spark(spark):
+    df = spark.createDataFrame(
+        [(0, r"x^2"), (1, r"\oint f"), (2, None)], "i long, latex_norm string"
+    )
+    rows = {r.i: r for r in with_sympy(df).collect()}
+    assert rows[0].sympy_str == "x**2" and rows[0].convert_error is None
+    assert rows[1].sympy_str is None and "NotImplementedError" in rows[1].convert_error
+    assert rows[2].sympy_str is None

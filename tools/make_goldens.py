@@ -289,6 +289,37 @@ def make_media_features(feature_dim: int = 8):
     )
 
 
+def make_x12_sympy_convert():
+    from latex_ocr_spark.operators.symbolic import convert_checked
+
+    ids, strs, errs = [], [], []
+    for i in range(500):
+        if i % 5 == 0:
+            latex = "x_{%d}^2 + \\frac{%d}{2}" % (i, i)
+        elif i % 5 == 1:
+            latex = "\\sqrt{a_%d + 1} \\cdot \\alpha" % i
+        elif i % 5 == 2:
+            latex = "\\left( y + %d \\right)^{3}" % i
+        elif i % 5 == 3:
+            latex = "\\int_0^%d f" % i
+        else:
+            latex = "operatorname*{sin}(t_%d)" % i
+        s, e = convert_checked(latex)
+        ids.append(i)
+        strs.append(s)
+        errs.append(e)
+    _write(
+        "x12_sympy_convert",
+        pa.table(
+            {
+                "span_id": pa.array(ids, pa.int64()),
+                "sympy_str": pa.array(strs, pa.string()),
+                "convert_error": pa.array(errs, pa.string()),
+            }
+        ),
+    )
+
+
 def make_s4_arxiv_tarballs():
     import tempfile
 
@@ -377,6 +408,7 @@ ALL = [
     make_img_preprocess,
     make_media_features,
     make_s4_arxiv_tarballs,
+    make_x12_sympy_convert,
     make_simhash64,
 ]
 
