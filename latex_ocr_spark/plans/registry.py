@@ -710,6 +710,33 @@ def w6_line_numbering(spark, sf):
 
 
 @register(
+    "w4_seeded_shuffle",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY md5(doc_id || ':42'), doc_id) AS shuffle_pos,
+           doc_id
+    FROM documents
+    """,
+)
+def w4_seeded_shuffle(spark, sf):
+    """W4 dataset shuffle (dataset.py random permutation) — made
+    deterministic AND distributed: the permutation key is
+    md5(id ‖ seed) instead of an RNG (engine-portable, retry-stable,
+    no driver state), and positions are assigned with the distributed
+    id operator (no single-partition window).  Changing the seed
+    literal gives a fresh epoch permutation — the reference's
+    per-epoch reshuffle without nondeterminism."""
+    from latex_ocr_spark.operators.ids import with_global_ids
+
+    keyed = _docs(spark, sf).select(
+        "doc_id", F.md5(F.concat(_id(), F.lit(":42"))).alias("_k")
+    )
+    return (
+        with_global_ids(keyed, ["_k", "doc_id"], id_col="shuffle_pos")
+        .select("shuffle_pos", "doc_id")
+    )
+
+
+@register(
     "a8_supplier_balance_by_region",
     oracle="""
     SELECT r.r_name,

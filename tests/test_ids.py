@@ -72,3 +72,23 @@ def test_w6_and_corpus_build_plans_have_no_global_window(spark, sf_small):
             .toString()
         )
         assert "SinglePartition" not in plan, name
+
+
+def test_property_random_sizes_and_partitions(spark):
+    """Property check across awkward shapes: duplicate-free contiguous
+    ids matching the sort order, any (n, partitions, start)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(6):
+        n = rng.choice([1, 2, 7, 100, 1017])
+        parts = rng.choice([1, 3, 8, 40])  # more partitions than rows too
+        start = rng.choice([0, 1, 1000])
+        df = spark.range(n).select(
+            ((F.col("id") * 2654435761) % 2**31).alias("k")
+        )
+        got = with_global_ids(df, ["k"], id_col="gid", start=start,
+                              num_partitions=parts).collect()
+        assert sorted(r.gid for r in got) == list(range(start, start + n)), (n, parts)
+        by_order = sorted(got, key=lambda r: r.k)
+        assert [r.gid for r in by_order] == list(range(start, start + n)), (n, parts)
