@@ -59,7 +59,8 @@ def _make_bpe_encode(spark: SparkSession):
     the --py-files zip (same policy as operators/tokenize.py)."""
     from latex_ocr_spark.textkernel.bpe import DEFAULT_TOKENIZER_PATH
 
-    spec = open(DEFAULT_TOKENIZER_PATH, "rb").read()  # driver-side read
+    with open(DEFAULT_TOKENIZER_PATH, "rb") as fh:  # driver-side read
+        spec = fh.read()
     bc = spark.sparkContext.broadcast(spec)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))

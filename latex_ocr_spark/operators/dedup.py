@@ -94,9 +94,11 @@ def jaccard_pairs(
     was dominated by near-universal shingles — exactly the pairs that
     are spurious at corpus scale.
     """
-    # the shingle table feeds both join sides and the size table — a
-    # self-join recomputes its lineage per side unless materialized
-    sh = doc_shingles(docs, text_col, id_col, ngram)
+    # the shingle table feeds both join sides, the size table and (with
+    # max_df) the hot-shingle aggregate — persist the RAW frame before
+    # deriving anything, or the dominant explode+distinct shuffle runs
+    # once per consumer
+    sh = doc_shingles(docs, text_col, id_col, ngram).persist()
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -104,8 +106,9 @@ def jaccard_pairs(
             .filter(F.col("_df") > max_df)
             .select("shingle")
         )
+        # the anti-join re-executes per consumer, but each execution is
+        # a cheap broadcast probe over the cached shingle partitions
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -114,10 +114,11 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     touches only the sampled frames.  This is the 100 TB-relevant half
     of frame sampling; the pixel fetch plugs into ``_decode_stub``.
     """
-    # rows with missing/zero/one-frame metadata would make
-    # sequence(0, n-1, step) throw (negative range) or divide by zero —
-    # they carry no sampleable frames, so gate them out rather than
-    # failing the whole job on one malformed row
+    # rows with missing/zero frame metadata would make
+    # sequence(0, n-1, step) throw (negative range) — they carry no
+    # sampleable frames, so gate them out rather than failing the whole
+    # job on one malformed row.  Single-frame videos ARE kept: they
+    # emit frame 0 at ts 0.
     v = media.filter(
         (F.col("kind") == "video") & (F.col("meta.n_frames") >= 1)
     )
@@ -133,6 +134,14 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.explode(F.sequence(F.lit(0), n - 1, F.col("_step"))).alias("frame_idx"),
             F.col("_fps_ms"),
         )
-        .withColumn("ts_ms", (F.col("frame_idx") * F.col("_fps_ms")).cast("long"))
+        # coalesce: a 1-frame video has no frame spacing (fps_ms NULL)
+        # but its only frame is unambiguously at t=0 — downstream decode
+        # keys on ts_ms and must never see NULL for a kept row
+        .withColumn(
+            "ts_ms",
+            F.coalesce(
+                (F.col("frame_idx") * F.col("_fps_ms")).cast("long"), F.lit(0)
+            ),
+        )
         .drop("_fps_ms")
     )

@@ -32,11 +32,19 @@ from pyspark.sql import types as T
 #: gui.py:28 — exact reference pre-normalization
 _RE_OPNAME = re.compile(r"operatorname\*{(\w+)}")
 
-_GREEK = (
-    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
-    "xi pi rho sigma tau upsilon phi chi psi omega Gamma Delta Theta Lambda "
-    "Xi Pi Sigma Upsilon Phi Psi Omega varepsilon vartheta varphi"
-).split()
+#: \lambda/\Lambda map to lamda/Lamda (sympy.abc's own convention):
+#: 'lambda' is a Python keyword, so it can never appear as an
+#: identifier in sympify source
+_GREEK = {
+    g: g
+    for g in (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu "
+        "xi pi rho sigma tau upsilon phi chi psi omega Gamma Delta Theta "
+        "Xi Pi Sigma Upsilon Phi Psi Omega varepsilon vartheta varphi"
+    ).split()
+}
+_GREEK["lambda"] = "lamda"
+_GREEK["Lambda"] = "Lamda"
 
 _RE_FRAC = re.compile(r"\\[dt]?frac\{([^{}]*)\}\{([^{}]*)\}")
 _RE_SQRT = re.compile(r"\\sqrt\{([^{}]*)\}")
@@ -72,31 +80,50 @@ _FUNC_WHITELIST = {"sqrt", "sin", "cos", "tan", "log", "exp", "Abs"}
 
 def _subset_to_sympy_source(latex: str) -> str:
     """Rewrite the supported LaTeX subset to a sympify-parsable string;
-    raise NotImplementedError on anything outside it."""
+    raise NotImplementedError on anything outside it.
+
+    Order matters: structural rewrites (scripts, fracs, sqrt, fences,
+    operator commands) run first; juxtaposition-multiplication rules
+    run on the *rewritten* string, so they see '(' where the LaTeX had
+    ``\\frac``/``\\left``.  Anything that still reaches sympify
+    malformed fails there and quarantines — never silently mis-parse.
+    """
     s = latex
-    # explicit multiplication where LaTeX uses juxtaposition — the
-    # cases below are unambiguous; anything else that reaches sympify
-    # malformed fails there and quarantines (never silently mis-parse)
-    # …but not before commands that are themselves operators or fences
-    s = re.sub(
-        r"([A-Za-z0-9\)])\s*\\(?!cdot\b|times\b|left\b|right\b)", r"\1*\\", s
-    )  # x\alpha, 2\pi
-    s = re.sub(r"(\d)\s*([A-Za-z\(])", r"\1*\2", s)  # 2x, 3(a+b)
-    s = re.sub(r"\)\s*\(", ")*(", s)  # (a)(b)
+    # unbraced scripts bind ONE character in LaTeX: x^2y = x^2 * y,
+    # x_12 = x_1 * 2 — honor that instead of swallowing the tail.
+    # (braced forms start with '{', outside these character classes,
+    # and are handled below)
+    s = re.sub(r"\^([A-Za-z0-9])(?=[A-Za-z0-9])", r"**(\1)*", s)
+    s = re.sub(r"\^([A-Za-z0-9])", r"**(\1)", s)
+    s = re.sub(r"_([A-Za-z0-9])(?=[A-Za-z0-9])", r"_\1*", s)
     for _ in range(20):  # innermost-out for nested braces
-        s2 = _RE_SUB_BRACE.sub(r"_\1", s)
+        # the \x00 sentinel marks the end of a braced subscript so a
+        # following identifier char becomes multiplication (a_{12}b =
+        # a_12 * b) instead of gluing into the symbol name
+        s2 = _RE_SUB_BRACE.sub("_\\1\x00", s)
         s2 = _RE_POW_BRACE.sub(r"**(\1)", s2)
         s2 = _RE_FRAC.sub(r"((\1)/(\2))", s2)
         s2 = _RE_SQRT.sub(r"sqrt(\1)", s2)
         if s2 == s:
             break
         s = s2
+    s = re.sub("\x00(?=[A-Za-z0-9])", "*", s).replace("\x00", "")
     s = s.replace(r"\cdot", "*").replace(r"\times", "*")
     s = s.replace(r"\left", "").replace(r"\right", "")
-    for g in _GREEK:
-        s = re.sub(r"\\%s\b" % g, g, s)
-    s = s.replace("^", "**")
+    # a remaining backslash command after a value is an operand
+    # (greek): insert the multiplication LaTeX leaves implicit
+    s = re.sub(r"([A-Za-z0-9\)\}])\s*\\", r"\1*\\", s)  # x\alpha, 2\pi
+    for g, name in _GREEK.items():
+        s = re.sub(r"\\%s\b" % g, name, s)
+    s = s.replace("^", "**")  # leftovers like x^\alpha (now x^alpha)
     s = s.replace("{", "(").replace("}", ")")
+    # juxtaposition over the rewritten string: digits/closing parens
+    # followed by a value are multiplication — these rules see '('
+    # where the LaTeX had \frac or \left (letter-before-paren is left
+    # alone: function application for whitelisted names, a
+    # quarantining TypeError otherwise)
+    s = re.sub(r"(\d)\s*([A-Za-z\(])", r"\1*\2", s)  # 2x, 3(a+b)
+    s = re.sub(r"\)\s*([A-Za-z0-9\(])", r")*\1", s)  # (a)(b), (a)x
     if "\\" in s:
         raise NotImplementedError(f"LaTeX outside the supported subset: {latex!r}")
     return s

@@ -105,7 +105,8 @@ def read_tex_archives(spark: SparkSession, path: str) -> DataFrame:
     failures)."""
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar.gz")
+        # all three source spellings paper_id_from_path understands
+        .option("pathGlobFilter", "*.{tar.gz,tgz,tar}")
         .load(path)
         .select("path", "content")
     )

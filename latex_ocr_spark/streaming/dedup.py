@@ -12,9 +12,13 @@ Two state-bounding strategies, both Spark-native:
   backfills (availableNow catch-up over a bounded directory), where
   the full key set is the job's working set by definition.
 
-Keying on ``xxhash64(text)`` instead of the text itself keeps the
-state store at 8 bytes per key plus the event-time column — at
-1 B documents that's GBs, not TBs, of state.
+Keying on ``md5(text)`` instead of the text itself keeps the state
+store at ~32 bytes per key plus the event-time column — at 1 B
+documents that's GBs, not TBs, of state.  128 bits, not 64: with 10⁹
+distinct keys a 64-bit hash already has ~2.6% probability of at least
+one collision, and a dedup-key collision silently *drops a unique
+document*; at 128 bits the same figure is ~10⁻²⁰ (this mirrors the
+batch exact-dedup operator, which keys on md5 for the same reason).
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ def dedup_stream(
 ) -> DataFrame:
     """First occurrence of each text within the watermark horizon."""
     return (
-        transcripts.withColumn("_text_key", F.xxhash64(F.col(text_col)))
+        transcripts.withColumn("_text_key", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_text_key"])
         .drop("_text_key")
@@ -41,7 +45,7 @@ def dedup_stream(
 def dedup_stream_global(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
     """Unbounded-state variant for finite catch-up runs."""
     return (
-        transcripts.withColumn("_text_key", F.xxhash64(F.col(text_col)))
+        transcripts.withColumn("_text_key", F.md5(F.col(text_col)))
         .dropDuplicates(["_text_key"])
         .drop("_text_key")
     )

@@ -70,6 +70,11 @@ def test_frame_sample_plan_gates_unframeable_rows(spark):
          {"width": 1, "height": 1, "duration_ms": 1000, "sample_rate": None, "n_frames": 1}),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    got = {r.media_id for r in frame_sample_plan(df, every_ms=1000).collect()}
+    plan_rows = frame_sample_plan(df, every_ms=1000).collect()
+    got = {r.media_id for r in plan_rows}
     assert 4 not in got and 5 not in got
-    assert 6 in got  # single-frame video still yields frame 0
+    # single-frame video yields exactly frame 0 at ts 0 — kept rows
+    # must never carry a NULL ts_ms (downstream decode keys on it)
+    single = [r for r in plan_rows if r.media_id == 6]
+    assert [(r.frame_idx, r.ts_ms) for r in single] == [(0, 0)]
+    assert all(r.ts_ms is not None for r in plan_rows)

@@ -24,6 +24,15 @@ from latex_ocr_spark.operators.symbolic import convert_checked, with_sympy
         (r"2x + 3(y+1)", "2*x + 3*y + 3"),  # juxtaposition = multiplication
         (r"(a+b)(c-d)", "(a + b)*(c - d)"),
         (r"e^{i\pi}", "e**(i*pi)"),
+        # review-round regressions: braced subscript followed by an
+        # identifier multiplies instead of gluing; juxtaposition rules
+        # see the rewritten string (post-\frac/\left); unbraced scripts
+        # bind exactly one character (LaTeX semantics)
+        (r"a_{12}b", "a_12*b"),
+        (r"2\left(x + 1\right)", "2*x + 2"),
+        (r"\frac{1}{2} x", "x/2"),
+        (r"x_12", "2*x_1"),
+        (r"x^2y", "x**2*y"),
     ],
 )
 def test_subset_conversion(latex, expected):
@@ -37,6 +46,13 @@ def test_builtin_names_stay_symbols():
     got, err = convert_checked(r"\frac{\alpha}{\beta} + E + I")
     assert err is None
     assert "beta" in got and "E + I" in got
+
+
+def test_lambda_keyword():
+    # \lambda maps to sympy.abc's 'lamda' spelling — 'lambda' is a
+    # Python keyword and can never appear in sympify source
+    got, err = convert_checked(r"\lambda + \Lambda")
+    assert err is None and got == "Lamda + lamda"
 
 
 def test_out_of_subset_quarantines_not_raises():

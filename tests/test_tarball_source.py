@@ -109,3 +109,25 @@ def test_spark_scan_end_to_end(spark, tmp_path):
     ok = rows["2003.10000"]
     assert ok.n_tex_files == 2  # legacy.tex undecodable, notes.txt ignored
     assert "\\mathbf{x_0}" in ok.tex  # macro actually expanded
+
+
+def test_tgz_and_bare_tar_also_scanned(spark, tmp_path):
+    """The glob must admit every suffix paper_id_from_path handles."""
+    from latex_ocr_spark.sources.archives import read_tex_archives
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    blob = _targz({"m.tex": b"$q+1$\n"})
+    (d / "2003.99991.tar.gz").write_bytes(blob)
+    (d / "2003.99992.tgz").write_bytes(blob)
+    # bare .tar (uncompressed)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        data = b"$r+2$\n"
+        info = tarfile.TarInfo(name="m.tex")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    (d / "2003.99993.tar").write_bytes(buf.getvalue())
+
+    rows = {r.paper_id for r in read_tex_archives(spark, str(d)).collect()}
+    assert rows == {"2003.99991", "2003.99992", "2003.99993"}
