@@ -244,6 +244,70 @@ def lsh_verified_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, cluster_id) connected components over near-dup pairs —
+    the step a real dedup pipeline needs after pair generation: pairs
+    say "A≈B, B≈C"; keeping one representative per *transitive* group
+    requires the component, and the canonical id is its minimum.
+
+    Spark-first iterative min-label propagation:
+
+    - edges are symmetrized once and persisted (read every round);
+    - each round joins labels to neighbors, takes the min over
+      (own label, neighbor labels) — one shuffle per round;
+    - convergence is checked with a count of changed labels (the
+      loop-condition action); rounds needed = component diameter.
+      Near-dup components are clique-like (every dup of a doc matches
+      the doc), so diameter is small; ``max_iter`` bounds adversarial
+      chains;
+    - ``localCheckpoint`` severs lineage each round — without it the
+      plan doubles per iteration and the job dies of planning long
+      before it dies of data.
+
+    Isolated documents (no pair) are not in the output — callers union
+    them back as their own singletons if needed (cheap anti-join).
+    """
+    e = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -839,9 +839,7 @@ def dedup_jaccard(spark, sf):
     return D.jaccard_pairs(_docs(spark, sf), threshold=0.5, ngram=1)
 
 
-@register(
-    "dedup_jaccard_capped",
-    oracle=r"""
+_CAPPED_JACCARD_SQL = r"""
     WITH sh0 AS (
       SELECT DISTINCT id, shingle FROM (
         SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS shingle
@@ -862,8 +860,10 @@ def dedup_jaccard(spark, sf):
     JOIN sizes sa ON sa.id = inter.a_id
     JOIN sizes sb ON sb.id = inter.b_id
     WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.3
-    """,
-)
+"""
+
+
+@register("dedup_jaccard_capped", oracle=_CAPPED_JACCARD_SQL)
 def dedup_jaccard_capped(spark, sf):
     """The hot-shingle-capped exact Jaccard (max_df=50): the mitigation
     for the inverted-index self-join's quadratic blowup on
@@ -871,6 +871,34 @@ def dedup_jaccard_capped(spark, sf):
     rows, so capping document frequency bounds the shuffle.  Oracle
     applies the identical cap."""
     return D.jaccard_pairs(_docs(spark, sf), threshold=0.3, ngram=1, max_df=50)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (SELECT a_id, b_id FROM ({_CAPPED_JACCARD_SQL})),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM cand
+      UNION
+      SELECT b_id AS s, a_id AS d FROM cand),
+    reach AS (
+      SELECT s AS id, s AS label FROM edges
+      UNION
+      SELECT e.s AS id, r.label FROM edges e JOIN reach r ON e.d = r.id)
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf):
+    """Duplicate-cluster assignment: connected components over the
+    capped-Jaccard near-dup pairs via iterative min-label propagation
+    (operators/dedup.duplicate_clusters — one shuffle per round,
+    localCheckpoint-bounded lineage).  The DuckDB oracle computes the
+    same components with a recursive CTE — completely different
+    algorithm, same fixpoint, which is exactly what an oracle should
+    be."""
+    pairs = D.jaccard_pairs(_docs(spark, sf), threshold=0.3, ngram=1, max_df=50)
+    return D.duplicate_clusters(pairs)
 
 
 @register(
@@ -1582,6 +1610,56 @@ def w7_event_time_windows(spark, sf):
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "w8_session_windows",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 17 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 17 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def w8_session_windows(spark, sf):
+    """Sessionization: gap-based session windows per user — Spark's
+    native ``session_window`` (state-store-backed in streaming; a
+    single shuffle-on-user hash agg in batch).  The oracle derives the
+    identical sessions by gaps-and-islands (lag + running sum), a
+    different algorithm with the same fixpoint; both engines start a
+    new session at diff ≥ gap (Spark's window end is last_event+gap,
+    exclusive)."""
+    ev = load_table(spark, "events", sf)
+    return (
+        ev.groupBy(F.session_window("ts", "17 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
             "n_events",
             "total_value",
         )

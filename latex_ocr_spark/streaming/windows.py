@@ -63,3 +63,44 @@ def start_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "17 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based per-user session aggregation — Spark's native
+    session_window; in streaming the state store merges/extends open
+    sessions and the watermark closes them exactly once (batch form +
+    DuckDB gaps-and-islands oracle: registry ``w8_session_windows``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def start_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "17 minutes",
+    watermark: str = "1 hour",
+):
+    """File-source → watermarked session windows → append parquet."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(input_dir)
+    agg = session_counts(stream, gap, watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -69,3 +69,25 @@ def test_pyxxh64_matches_spark(spark):
     )
     for r in df.collect():
         assert xxh64(r.s.encode("utf-8")) == r.h, repr(r.s)
+
+
+def test_duplicate_clusters_chain_and_cliques(spark):
+    """Min-label propagation must close transitive chains (A≈B, B≈C,
+    C≈D → one cluster), not just direct pairs — diameter > 1 forces
+    multiple propagation rounds."""
+    from latex_ocr_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),   # chain: diameter 4
+            (10, 11), (10, 12), (11, 12),     # clique
+            (20, 21),                         # simple pair
+        ],
+        "a_id long, b_id long",
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }

@@ -84,3 +84,42 @@ def test_watermark_finalizes_windows_across_catchups(spark, dirs):
     batch = windowed_counts(spark.read.parquet(inp))
     batch_set = {(r.window_start.hour, r.n_events) for r in batch.collect()}
     assert _emitted(spark, out) <= batch_set
+
+
+def test_session_stream_matches_batch(spark, dirs):
+    """Streaming session windows (state-store merged, watermark-closed)
+    == batch session_window over the same events, including a session
+    extended across micro-batches."""
+    import pyspark.sql.functions as F
+
+    from latex_ocr_spark.streaming.windows import session_counts, start_session_stream
+
+    inp, out, ckpt = dirs
+    # user 0: events 5 min apart (one session) then a 40-min gap (new
+    # session); user 1: single event
+    rows = _events([(0, 0), (0, 5), (0, 10), (0, 50), (2, 0)])
+    rows = [(i, ts, uid % 2, et, v, p) for (i, ts, uid, et, v, p) in rows]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    df.write.mode("append").parquet(inp)
+    # far-future row advances the watermark so all sessions close
+    closer = spark.createDataFrame(
+        [(999, BASE + dt.timedelta(days=2), 7, "click", 1.0, "{}")], EVENTS_SCHEMA
+    )
+    closer.write.mode("append").parquet(inp)
+    q = start_session_stream(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_counts(
+            spark.read.parquet(inp).select("user_id", "ts")
+        ).collect()
+    }
+    # the closer row's own session may still be open in streaming;
+    # every session the watermark closed must match batch exactly
+    assert {g for g in got if g[0] != 7} == {g for g in batch if g[0] != 7}
+    assert len({g for g in got if g[0] == 0}) == 2  # gap split into two sessions
