@@ -1768,6 +1768,53 @@ def media_frame_plan(spark, sf):
 
 
 @register(
+    "s5_frontier_search",
+    oracle="""
+    WITH RECURSIVE
+    pg AS (
+      SELECT 'P' || CAST(doc_id AS VARCHAR) AS pid,
+             CASE WHEN doc_id % 3 <> 0 THEN '$m' || doc_id || '$ ' ELSE 'no math ' END
+               || '<a href="/wiki/P' || CAST((2 * doc_id + 1) % 500 AS VARCHAR) || '">'
+               || '<a href="/wiki/Talk:Skip">'
+               || '<a href="/wiki/P' || CAST((3 * doc_id + 5) % 500 AS VARCHAR) || '">' AS txt
+      FROM documents),
+    edges AS (
+      SELECT DISTINCT pid AS s, d FROM (
+        SELECT pid, unnest(regexp_extract_all(txt, 'href="/wiki/(.*?)"', 1)) AS d
+        FROM pg WHERE contains(txt, '$'))
+      WHERE NOT contains(d, ':')),
+    bfs AS (
+      SELECT * FROM (VALUES ('P1', 0), ('P2', 0)) AS t(id, depth)
+      UNION ALL
+      SELECT e.d, b.depth + 1 FROM bfs b JOIN edges e ON e.s = b.id
+      WHERE b.depth + 1 <= 2)
+    SELECT id, CAST(min(depth) AS INT) AS first_depth FROM bfs GROUP BY id
+    """,
+)
+def s5_frontier_search(spark, sf):
+    """S5's acquisition loop offline (recursive_search,
+    scraping.py:24-66): depth-3 BFS from two seeds over a constructed
+    page table — math-gated link contribution (tree pruning), colon
+    namespace drop, visited-set anti-join per round.  The oracle walks
+    the same graph with a depth-capped recursive CTE; both report each
+    processed page at its first-reached round."""
+    from latex_ocr_spark.operators.crawl import frontier_search
+
+    i = _id()
+    txt = F.concat(
+        F.when(F.col("doc_id") % 3 != 0, F.concat(F.lit("$m"), i, F.lit("$ ")))
+        .otherwise(F.lit("no math ")),
+        F.lit('<a href="/wiki/P'), ((F.col("doc_id") * 2 + 1) % 500).cast("string"),
+        F.lit('"><a href="/wiki/Talk:Skip"><a href="/wiki/P'),
+        ((F.col("doc_id") * 3 + 5) % 500).cast("string"), F.lit('">'),
+    )
+    pages = _docs(spark, sf).select(
+        F.concat(F.lit("P"), i).alias("page_id"), txt.alias("text")
+    )
+    return frontier_search(spark, pages, seeds=["P1", "P2"], depth=3)
+
+
+@register(
     "s4_arxiv_tarballs",
     oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/s4_arxiv_tarballs.parquet')",
 )
