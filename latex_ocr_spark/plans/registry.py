@@ -840,10 +840,20 @@ def dedup_jaccard(spark, sf):
 
 
 _CAPPED_JACCARD_SQL = r"""
-    WITH sh0 AS (
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 100000 + i AS doc_id,
+             'planted zq' || i || ' wq' || i || ' vq' || i || ' uq' || i AS text
+      FROM (SELECT unnest(range(5)) AS i)
+      UNION ALL
+      SELECT 200000 + i AS doc_id,
+             'planted zq' || i || ' wq' || i || ' vq' || i || ' uq' || i AS text
+      FROM (SELECT unnest(range(5)) AS i)),
+    sh0 AS (
       SELECT DISTINCT id, shingle FROM (
         SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS shingle
-        FROM documents) WHERE shingle <> ''),
+        FROM base) WHERE shingle <> ''),
     hot AS (
       SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
     sh AS (
@@ -869,8 +879,28 @@ def dedup_jaccard_capped(spark, sf):
     for the inverted-index self-join's quadratic blowup on
     near-universal shingles — a shingle in k docs contributes k² join
     rows, so capping document frequency bounds the shuffle.  Oracle
-    applies the identical cap."""
-    return D.jaccard_pairs(_docs(spark, sf), threshold=0.3, ngram=1, max_df=50)
+    applies the identical cap.  Five planted *rare-token* duplicate
+    pairs guarantee above-threshold pairs at every scale: this
+    testdata's documents draw on a 31-word vocabulary, so every
+    organic unigram (and any copy of a real doc) is hot at sf0.1 and
+    an unplanted query would pass vacuously there."""
+    return D.jaccard_pairs(_planted_docs(spark, sf), threshold=0.3, ngram=1, max_df=50)
+
+
+def _planted_docs(spark, sf):
+    """documents ∪ five synthetic duplicate pairs built from tokens
+    that exist nowhere else (df=2 — survives any hot-shingle cap)."""
+    i = F.col("id").cast("string")
+    text = F.concat(
+        F.lit("planted zq"), i, F.lit(" wq"), i, F.lit(" vq"), i, F.lit(" uq"), i
+    )
+    planted = spark.range(5).select(F.col("id"), text.alias("text"))
+    return (
+        _docs(spark, sf)
+        .select("doc_id", "text")
+        .unionByName(planted.select((F.col("id") + 100000).alias("doc_id"), "text"))
+        .unionByName(planted.select((F.col("id") + 200000).alias("doc_id"), "text"))
+    )
 
 
 @register(
@@ -896,8 +926,9 @@ def dedup_clusters(spark, sf):
     localCheckpoint-bounded lineage).  The DuckDB oracle computes the
     same components with a recursive CTE — completely different
     algorithm, same fixpoint, which is exactly what an oracle should
-    be."""
-    pairs = D.jaccard_pairs(_docs(spark, sf), threshold=0.3, ngram=1, max_df=50)
+    be.  Pairs come from the planted-copy capped-Jaccard query, so the
+    component set is nonempty at every scale."""
+    pairs = D.jaccard_pairs(_planted_docs(spark, sf), threshold=0.3, ngram=1, max_df=50)
     return D.duplicate_clusters(pairs)
 
 
