@@ -58,11 +58,18 @@ def frontier_search(
     """(id, first_depth) — every page id processed within ``depth``
     rounds of BFS from ``seeds``, tagged with the round that first
     reached it."""
+    if depth < 1:
+        raise ValueError(f"depth counts processing rounds and must be >= 1, got {depth}")
     edges = page_links(pages, id_col, text_col).persist()
-    visited = spark.createDataFrame(
+    seed_frame = spark.createDataFrame(
         [(s, 0) for s in seeds], "id string, first_depth int"
     ).localCheckpoint()
-    frontier = visited.select("id")
+    # each round's frame is checkpointed once; `visited` is a lazy
+    # union of those checkpointed frames (re-checkpointing the whole
+    # growing set every round would re-store O(V·depth) rows)
+    rounds = [seed_frame]
+    visited = seed_frame
+    frontier = seed_frame.select("id")
     for d in range(1, depth):
         new = (
             edges.join(frontier, edges.src == frontier.id)
@@ -74,7 +81,11 @@ def frontier_search(
         )
         if new.isEmpty():
             break
-        visited = visited.unionByName(new).localCheckpoint()
+        rounds.append(new)
+        visited = visited.unionByName(new)
         frontier = new.select("id")
     edges.unpersist(blocking=False)
-    return visited
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -279,6 +279,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -305,6 +306,16 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist(blocking=False)
+    if changed != 0:
+        # returning here would silently split true components —
+        # downstream dedup would keep several "canonical" copies of
+        # one duplicate group
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a component's diameter "
+            f"exceeds max_iter — raise it (rounds are cheap; each is one "
+            f"shuffle)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -843,11 +843,11 @@ _CAPPED_JACCARD_SQL = r"""
     WITH base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT 100000 + i AS doc_id,
+      SELECT -(1 + i) AS doc_id,
              'planted zq' || i || ' wq' || i || ' vq' || i || ' uq' || i AS text
       FROM (SELECT unnest(range(5)) AS i)
       UNION ALL
-      SELECT 200000 + i AS doc_id,
+      SELECT -(101 + i) AS doc_id,
              'planted zq' || i || ' wq' || i || ' vq' || i || ' uq' || i AS text
       FROM (SELECT unnest(range(5)) AS i)),
     sh0 AS (
@@ -889,7 +889,10 @@ def dedup_jaccard_capped(spark, sf):
 
 def _planted_docs(spark, sf):
     """documents ∪ five synthetic duplicate pairs built from tokens
-    that exist nowhere else (df=2 — survives any hot-shingle cap)."""
+    that exist nowhere else (df=2 — survives any hot-shingle cap).
+    Planted ids are negative: generated doc_ids are non-negative at
+    every scale, so the plant can never collide with (and silently
+    merge into) an organic document."""
     i = F.col("id").cast("string")
     text = F.concat(
         F.lit("planted zq"), i, F.lit(" wq"), i, F.lit(" vq"), i, F.lit(" uq"), i
@@ -898,8 +901,8 @@ def _planted_docs(spark, sf):
     return (
         _docs(spark, sf)
         .select("doc_id", "text")
-        .unionByName(planted.select((F.col("id") + 100000).alias("doc_id"), "text"))
-        .unionByName(planted.select((F.col("id") + 200000).alias("doc_id"), "text"))
+        .unionByName(planted.select((-(F.col("id") + 1)).alias("doc_id"), "text"))
+        .unionByName(planted.select((-(F.col("id") + 101)).alias("doc_id"), "text"))
     )
 
 

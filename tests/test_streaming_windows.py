@@ -95,8 +95,9 @@ def test_session_stream_matches_batch(spark, dirs):
     from latex_ocr_spark.streaming.windows import session_counts, start_session_stream
 
     inp, out, ckpt = dirs
-    # user 0: events 5 min apart (one session) then a 40-min gap (new
-    # session); user 1: single event
+    # after the uid%2 remap below: user 0 gets 0:00/0:10/0:50 (first
+    # two merge — 10-min spacing < 17-min gap — then a 40-min gap opens
+    # a second session); user 1 gets 0:05 and 2:00 (two sessions)
     rows = _events([(0, 0), (0, 5), (0, 10), (0, 50), (2, 0)])
     rows = [(i, ts, uid % 2, et, v, p) for (i, ts, uid, et, v, p) in rows]
     df = spark.createDataFrame(rows, EVENTS_SCHEMA)
