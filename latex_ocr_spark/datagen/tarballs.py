@@ -56,29 +56,44 @@ def paper_sources(idx: int) -> dict:
     }
 
 
+def _fixture_bytes(idx: int) -> bytes:
+    if idx == PLAIN_IDX:
+        # a bare tex file served under a .tar.gz name
+        return f"$z_{idx}^2$ plain payload\n".encode("utf-8")
+    tar_buf = io.BytesIO()
+    with tarfile.open(fileobj=tar_buf, mode="w") as tf:
+        for name, data in sorted(paper_sources(idx).items()):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            tf.addfile(info, io.BytesIO(data))
+    gz_buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=gz_buf, mode="wb", mtime=0) as gz:
+        gz.write(tar_buf.getvalue())
+    return gz_buf.getvalue()
+
+
 def write_fixture_tarballs(out_dir: str) -> List[str]:
-    """Write the fixture set; returns the paths.  Idempotent."""
+    """Write the fixture set; returns the paths.
+
+    Always (re)writes via atomic rename: a skip-if-exists would keep
+    stale files around when a fixture's *definition* changes between
+    runs, silently diverging from the regenerated golden; the rename
+    keeps concurrent writers (parallel tests sharing /tmp) safe.
+    """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for idx in range(N_PAPERS):
         path = os.path.join(out_dir, f"2003.{10000 + idx}.tar.gz")
         paths.append(path)
+        blob = _fixture_bytes(idx)
         if os.path.exists(path):
-            continue
-        if idx == PLAIN_IDX:
-            # a bare tex file served under a .tar.gz name
-            with open(path, "wb") as fh:
-                fh.write(f"$z_{idx}^2$ plain payload\n".encode("utf-8"))
-            continue
-        tar_buf = io.BytesIO()
-        with tarfile.open(fileobj=tar_buf, mode="w") as tf:
-            for name, data in sorted(paper_sources(idx).items()):
-                info = tarfile.TarInfo(name=name)
-                info.size = len(data)
-                info.mtime = 0
-                info.uid = info.gid = 0
-                tf.addfile(info, io.BytesIO(data))
-        with open(path, "wb") as fh:
-            with gzip.GzipFile(fileobj=fh, mode="wb", mtime=0) as gz:
-                gz.write(tar_buf.getvalue())
+            with open(path, "rb") as fh:
+                if fh.read() == blob:
+                    continue  # bit-identical — nothing to do
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
     return paths
