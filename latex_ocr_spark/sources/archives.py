@@ -59,7 +59,12 @@ def paper_id_from_path(path: str) -> str:
 def read_tex_payload(blob: bytes) -> Tuple[int, str]:
     """(n_tex_files, concatenated tex) from one source blob — the
     pure kernel, importable Spark-free (golden generation + parity
-    tests use it directly)."""
+    tests use it directly).
+
+    May raise on a source that *looks* like a tar but is corrupt
+    mid-stream (truncated gzip → EOFError during extraction);
+    :func:`paper_from_blob` is the never-raise quarantining wrapper
+    the Spark scan uses."""
     texts = []
     try:
         with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
@@ -89,14 +94,22 @@ def read_tex_payload(blob: bytes) -> Tuple[int, str]:
 
 
 def paper_from_blob(path: str, blob: bytes) -> Tuple[str, int, Optional[str], Optional[str]]:
-    """(paper_id, n_tex_files, tex, demacro_error) for one source."""
+    """(paper_id, n_tex_files, tex, demacro_error) for one source.
+
+    Never raises: a corrupt source (e.g. a truncated gzip stream —
+    tarfile.open succeeds on the intact header, then EOFError surfaces
+    mid-extraction) or a macro bomb quarantines the *paper*, not the
+    task.
+    """
     from latex_ocr_spark.textkernel.demacro import expand_macros
 
-    n, tex = read_tex_payload(blob)
+    pid = paper_id_from_path(path)
+    n = 0
     try:
-        return paper_id_from_path(path), n, expand_macros(tex), None
-    except Exception as exc:  # MacroExpansionError + guard timeouts
-        return paper_id_from_path(path), n, None, f"{type(exc).__name__}: {exc}"
+        n, tex = read_tex_payload(blob)
+        return pid, n, expand_macros(tex), None
+    except Exception as exc:  # decompress/untar corruption, demacro guards
+        return pid, n, None, f"{type(exc).__name__}: {exc}"
 
 
 def read_tex_archives(spark: SparkSession, path: str) -> DataFrame:
