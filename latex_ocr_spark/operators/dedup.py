@@ -158,6 +158,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     ngram: int = 1,
     _shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any band key.
 
@@ -165,6 +166,14 @@ def lsh_candidate_pairs(
     candidates come from an equi-join on (band_idx, band_key) — the
     plan is explode → shuffle on the band key → pair — which scales as
     the number of true near-dups, not as n².
+
+    ``max_bucket_size`` is the degenerate-key guard: a band key shared
+    by k documents contributes k² join rows, so one monster bucket
+    (e.g. a boilerplate page repeated a million times) IS the n²
+    blowup.  Buckets above the cap are dropped — at that multiplicity
+    the members are better handled by ``exact_duplicates`` first (an
+    exact-dup group collides in *every* band, so nothing but
+    redundancy is lost).
     """
     sig = minhash_signatures(docs, num_hashes, text_col, id_col, ngram, _shingles)
     n_bands = num_hashes // band_size
@@ -181,6 +190,15 @@ def lsh_candidate_pairs(
     keyed = sig.select(
         "id", F.posexplode(bands).alias("band_idx", "band_key")
     ).persist()  # both sides of the candidate self-join read this
+    if max_bucket_size is not None:
+        hot = (
+            keyed.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        # broadcast probe over the cached keyed partitions per consumer
+        keyed = keyed.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

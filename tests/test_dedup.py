@@ -91,3 +91,24 @@ def test_duplicate_clusters_chain_and_cliques(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_lsh_bucket_cap_bounds_degenerate_keys(spark):
+    """A monster bucket (identical boilerplate repeated) must not
+    produce k^2 candidates when the cap is on — and the cap must not
+    touch ordinary near-dup buckets."""
+    from latex_ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    boiler = [(i, "common boilerplate page body repeated verbatim") for i in range(40)]
+    pair = [(100, "rare unique zq1 wq1 vq1"), (101, "rare unique zq1 wq1 vq1")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = lsh_candidate_pairs(docs, ngram=1).count()
+    assert uncapped >= (40 * 39) // 2  # the blowup is real
+
+    capped = {
+        (r.a_id, r.b_id)
+        for r in lsh_candidate_pairs(docs, ngram=1, max_bucket_size=10).collect()
+    }
+    assert (100, 101) in capped          # ordinary bucket untouched
+    assert all(a >= 100 for a, _ in capped)  # monster bucket dropped
