@@ -100,6 +100,61 @@ def probe_png_size(png: bytes) -> Optional[Tuple[int, int]]:
 
 
 # ---------------------------------------------------------------------------
+# I8 render: deterministic text rasterizer (xelatex stand-in)
+# ---------------------------------------------------------------------------
+
+#: glyph cell geometry: 5×7 ink grid + 1 column of spacing
+_GLYPH_W, _GLYPH_H, _GLYPH_SPACING = 5, 7, 1
+_GLYPH_CACHE: dict = {}
+
+
+def _glyph(ch: str) -> "np.ndarray":
+    """Deterministic 5×7 ink pattern for one character.
+
+    Placeholder glyphs (md5-derived ink, not legible type): the
+    reference's renderer is xelatex+ghostscript (latex2png), absent in
+    this container.  What the pipeline needs from a renderer is
+    deterministic, content-dependent pixels with real bbox variation —
+    these provide exactly that; a real rasterizer drops in here."""
+    import hashlib
+
+    g = _GLYPH_CACHE.get(ch)
+    if g is None:
+        bits = int.from_bytes(hashlib.md5(ch.encode("utf-8")).digest()[:5], "big")
+        g = np.zeros((_GLYPH_H, _GLYPH_W), dtype=bool)
+        for r in range(_GLYPH_H):
+            for c in range(_GLYPH_W):
+                if (bits >> (r * _GLYPH_W + c)) & 1:
+                    g[r, c] = True
+        if not g.any():  # every glyph leaves ink (bbox never empty)
+            g[_GLYPH_H // 2, _GLYPH_W // 2] = True
+        _GLYPH_CACHE[ch] = g
+    return g
+
+
+def render_text_gray(text: str, pad: int = 4) -> "np.ndarray":
+    """Render a string to a grayscale image (ink 0 on white 255).
+
+    Geometry is a pure function of the text: height ``7 + 2·pad``,
+    width ``6·len(text) − 1 + 2·pad`` (5-px glyphs, 1-px spacing) —
+    which is what makes the render→probe loop oracle-checkable by
+    arithmetic alone (registry ``img_render_probe``)."""
+    n = len(text)
+    ink_w = max(n * (_GLYPH_W + _GLYPH_SPACING) - _GLYPH_SPACING, 1)
+    arr = np.full((_GLYPH_H + 2 * pad, ink_w + 2 * pad), 255, dtype=np.uint8)
+    for i, ch in enumerate(text):
+        x = pad + i * (_GLYPH_W + _GLYPH_SPACING)
+        arr[pad : pad + _GLYPH_H, x : x + _GLYPH_W][_glyph(ch)] = 0
+    return arr
+
+
+def render_latex_png(formula: str, pad: int = 4) -> bytes:
+    """LaTeX → PNG bytes — the latex2png seam (latex2png.py call shape)
+    over the deterministic rasterizer."""
+    return encode_png_gray(render_text_gray(formula, pad))
+
+
+# ---------------------------------------------------------------------------
 # I1 pad(): contrast stretch + polarity + bbox crop + ÷32 pad
 # ---------------------------------------------------------------------------
 

@@ -1577,6 +1577,68 @@ def img_probe_bucket(spark, sf):
 
 
 @register(
+    "img_render_probe",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             'x_{' || doc_id || '}+\frac{1}{' || doc_id % 7 || '}' AS formula
+      FROM documents)
+    SELECT doc_id,
+           CAST(6 * length(formula) - 1 + 8 AS INT) AS w,
+           CAST(15 AS INT) AS h,
+           CAST(ceil((6 * length(formula) - 1 + 8) / 32.0) * 32 AS INT) AS bw,
+           CAST(32 AS INT) AS bh
+    FROM f
+    """,
+)
+def img_render_probe(spark, sf):
+    r"""I8 render → S3 probe → bucket, end to end: every doc's formula
+    is rasterized (deterministic glyph renderer — the xelatex seam),
+    the PNG's IHDR is probed, and the ÷32 bucket computed.  The oracle
+    never sees a pixel: the renderer's geometry is a pure function of
+    the formula string, so expected dimensions are plain arithmetic
+    over the same constructed text."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from latex_ocr_spark.operators.images import with_bucket, with_probed_size
+
+    formula = F.concat(
+        F.lit("x_{"), _id(), F.lit("}+\\frac{1}{"),
+        (F.col("doc_id") % 7).cast("string"), F.lit("}"),
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from latex_ocr_spark.operators.images import render_latex_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "png": [render_latex_png(s) for s in pdf["formula"]],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("png", T.BinaryType())]
+    )
+    rendered = (
+        _docs(spark, sf)
+        .select("doc_id", formula.alias("formula"))
+        .mapInPandas(gen, schema=schema)
+    )
+    return with_bucket(with_probed_size(rendered)).select(
+        "doc_id",
+        F.col("width").cast("int").alias("w"),
+        F.col("height").cast("int").alias("h"),
+        F.col("bucket.w").alias("bw"),
+        F.col("bucket.h").alias("bh"),
+    )
+
+
+@register(
     "img_preprocess",
     oracle=f"SELECT * FROM read_parquet('{GOLDEN_DIR}/img_preprocess.parquet')",
 )

@@ -116,3 +116,23 @@ def test_spark_image_pipeline(spark):
     for r in proc:
         assert r.proc_w % 32 == 0 and r.proc_h % 32 == 0
         assert r.proc_png is not None
+
+
+def test_render_text_gray_geometry_and_determinism():
+    from latex_ocr_spark.operators.images import (
+        decode_png_gray,
+        render_latex_png,
+        render_text_gray,
+    )
+
+    arr = render_text_gray("x_{1}+2", pad=4)
+    assert arr.shape == (7 + 8, 6 * 7 - 1 + 8)  # 7 chars
+    assert (arr == 0).any() and (arr == 255).any()  # ink on white
+    # deterministic: identical bytes run-to-run, distinct per content
+    assert render_latex_png("a+b") == render_latex_png("a+b")
+    assert render_latex_png("a+b") != render_latex_png("a+c")
+    # round-trips through the codec
+    back = decode_png_gray(render_latex_png("E=mc^2"))
+    assert back.shape[0] == 15
+    # empty text still renders a valid (blank) image
+    assert render_text_gray("").shape == (15, 9)
