@@ -110,6 +110,60 @@ def lang_id_pandas(
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def tf_idf(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, tok, tf, df, tfidf) — classic relevance weighting.
+
+    tf = in-document count, df = document frequency, idf = ln(N/df);
+    one explode and two hash aggregations (term-level df reuses the
+    exploded frame), everything partial-aggregated map-side.  N rides
+    along as a broadcast scalar (a count, not a collect of rows)."""
+    n_docs = docs.count()
+    toks = _tokens(text_col)
+    exploded = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    tf = exploded.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        exploded.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        tf.join(df, "tok")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+        .select("id", "tok", "tf", "df", "tfidf")
+    )
+
+
+def deterministic_split(
+    docs: DataFrame,
+    val_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    seed: str = "split-seed-1",
+) -> DataFrame:
+    """Append a stable ``split`` column ('train'/'val').
+
+    The assignment is a pure function of (id, seed): the first 8 hex
+    digits of md5(id ‖ seed) scaled to [0, 1) against the fraction —
+    no RNG, no shuffle, identical on every engine/run/retry, and any
+    row subset gets the same assignment as the full corpus (the
+    property per-epoch RNG sampling lacks).  New seed = new split."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / float(1 << 32)
+    )
+    return docs.withColumn(
+        "split", F.when(u < val_fraction, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalized md5 fingerprint (case-fold + whitespace squeeze) —
     the canonical key for incremental-crawl dedup joins."""

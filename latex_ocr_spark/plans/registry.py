@@ -1389,6 +1389,48 @@ def text_langid_udf(spark, sf):
 
 
 @register(
+    "text_tfidf",
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id AS id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+      FROM documents),
+    tf AS (SELECT id, tok, count(*) AS tf FROM ex GROUP BY id, tok),
+    df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT id, tok FROM ex) GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.id, tf.tok, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf):
+    """TF-IDF relevance weights per (doc, term) — the classic
+    quality/term-importance signal for corpus curation."""
+    return TS.tf_idf(_docs(spark, sf))
+
+
+@register(
+    "text_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-seed-1'), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 < 0.1
+           THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def text_train_val_split(spark, sf):
+    """Deterministic hash-threshold train/val assignment — no RNG, no
+    shuffle, identical across engines/runs/retries/subsets; per-epoch
+    or per-experiment resplit = change the seed string.  Row-level
+    oracle: DuckDB recomputes every document's assignment from the
+    same md5 arithmetic."""
+    return TS.deterministic_split(_docs(spark, sf), val_fraction=0.1).select(
+        "doc_id", "split"
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=r"""
     SELECT CAST(doc_id AS BIGINT) AS id,
