@@ -28,6 +28,21 @@ def _tokens(col: str):
     return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != "")
 
 
+def _drop_hot_keys(df: DataFrame, key_cols: list, cap: int) -> DataFrame:
+    """Remove every row whose key occurs more than ``cap`` times —
+    the shared guard behind both quadratic-blowup mitigations
+    (jaccard max_df, LSH max_bucket_size).  The hot-key list is small
+    by construction (keys above a count threshold) and broadcast; the
+    anti-join is a cheap probe over the (cached) input partitions."""
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts: (text_hash, canonical_id, dup_count).
 
@@ -100,15 +115,7 @@ def jaccard_pairs(
     # once per consumer
     sh = doc_shingles(docs, text_col, id_col, ngram).persist()
     if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("shingle")
-        )
-        # the anti-join re-executes per consumer, but each execution is
-        # a cheap broadcast probe over the cached shingle partitions
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = _drop_hot_keys(sh, ["shingle"], max_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -170,10 +177,13 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` is the degenerate-key guard: a band key shared
     by k documents contributes k² join rows, so one monster bucket
     (e.g. a boilerplate page repeated a million times) IS the n²
-    blowup.  Buckets above the cap are dropped — at that multiplicity
-    the members are better handled by ``exact_duplicates`` first (an
-    exact-dup group collides in *every* band, so nothing but
-    redundancy is lost).
+    blowup.  Buckets above the cap are dropped.  That is a real recall
+    trade, not a free lunch: an *exact*-dup family is recovered
+    losslessly by running ``exact_duplicates`` first, but a huge family
+    of near-identical (non-byte-equal) pages loses its candidate pairs
+    entirely — when such families are expected, fingerprint-normalize
+    first (``textstats.fingerprints``) or raise the cap and pay the
+    join.
     """
     sig = minhash_signatures(docs, num_hashes, text_col, id_col, ngram, _shingles)
     n_bands = num_hashes // band_size
@@ -191,14 +201,7 @@ def lsh_candidate_pairs(
         "id", F.posexplode(bands).alias("band_idx", "band_key")
     ).persist()  # both sides of the candidate self-join read this
     if max_bucket_size is not None:
-        hot = (
-            keyed.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band_idx", "band_key")
-        )
-        # broadcast probe over the cached keyed partitions per consumer
-        keyed = keyed.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+        keyed = _drop_hot_keys(keyed, ["band_idx", "band_key"], max_bucket_size)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

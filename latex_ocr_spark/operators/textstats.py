@@ -115,19 +115,19 @@ def tf_idf(
 ) -> DataFrame:
     """(id, tok, tf, df, tfidf) — classic relevance weighting.
 
-    tf = in-document count, df = document frequency, idf = ln(N/df);
-    one explode and two hash aggregations (term-level df reuses the
-    exploded frame), everything partial-aggregated map-side.  N rides
-    along as a broadcast scalar (a count, not a collect of rows)."""
+    tf = in-document count, df = document frequency, idf = ln(N/df).
+    One explode feeds the (id, tok) aggregation; df is derived FROM tf
+    (tf already has exactly one row per (id, tok), so ``count(*)`` per
+    tok is the document frequency) and tf is persisted because it
+    feeds both the join and the df aggregation — the scan+explode, the
+    dominant cost, runs exactly once (same policy as dedup.py's
+    self-join frames).  N rides along as a broadcast scalar (a count,
+    not a collect of rows)."""
     n_docs = docs.count()
     toks = _tokens(text_col)
     exploded = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    tf = exploded.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        exploded.distinct()
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    tf = exploded.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "tok")
         .withColumn(

@@ -30,16 +30,20 @@ _LATEXISH = st.lists(
 @given(_LATEXISH)
 def test_convert_checked_never_raises(s):
     got, err = convert_checked(s)
-    assert (got is None) != (err is None) or got is not None  # tuple is coherent
-    if got is None:
-        assert err
+    # exclusive contract: a result XOR a quarantine reason, never both
+    assert (got is None) != (err is None)
 
 
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=512))
-def test_read_tex_payload_never_raises_on_garbage(blob):
-    n, tex = read_tex_payload(blob)
-    assert n >= 0 and isinstance(tex, str)
+def test_paper_from_blob_never_raises_on_garbage(blob):
+    # paper_from_blob is the never-raise wrapper (read_tex_payload is
+    # documented to raise on tar-like-but-corrupt streams, so it is
+    # NOT the right fuzz target — a random blob forming a truncated
+    # gzip prefix is inside this domain)
+    pid, n, tex, err = paper_from_blob("g.tar.gz", blob)
+    assert pid == "g" and n >= 0
+    assert (tex is None) == (err is not None)
 
 
 @settings(max_examples=60, deadline=None)
