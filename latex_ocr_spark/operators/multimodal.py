@@ -106,6 +106,74 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=schema)
 
 
+def fetch_frames(media: DataFrame, plan: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Decode exactly the frames the sampling plan selected.
+
+    The join attaches each planned (media_id, frame_idx, ts_ms) row to
+    its payload — the payload travels once per *sampled frame*, never
+    per source frame, which is the point of planning before decoding.
+    The media side is typically the small one per batch and is
+    broadcast; at a scale where it isn't, remove the hint and let AQE
+    pick the shuffle join.
+
+    Frame decode goes through the same codec boundary as
+    :func:`extract_media_features`: no video codec in this container →
+    every row quarantines with ``decode_error`` instead of failing the
+    task, and a real ffmpeg binding replaces ``_decode_frame_stub``
+    without moving anything else.
+    """
+    joined = plan.join(
+        F.broadcast(media.select("media_id", "kind", "mime", "payload")), "media_id"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats, errs = [], []
+            for kind, mime, payload, idx in zip(
+                pdf["kind"], pdf["mime"], pdf["payload"], pdf["frame_idx"]
+            ):
+                try:
+                    arr = _decode_frame_stub(
+                        kind, mime, bytes(payload) if payload is not None else b"", int(idx)
+                    )
+                    hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 255))
+                    total = max(int(hist.sum()), 1)
+                    feats.append([round(float(h) / total, 6) for h in hist])
+                    errs.append(None)
+                except Exception as exc:
+                    feats.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "ts_ms": pdf["ts_ms"].astype("int64"),
+                    "feature": feats,
+                    "decode_error": errs,
+                }
+            )
+
+    return joined.mapInPandas(run, schema=schema)
+
+
+def _decode_frame_stub(kind: str, mime: str, payload: bytes, frame_idx: int):
+    """Per-frame codec boundary (ffmpeg seam) — see ``_decode_stub``."""
+    raise NotImplementedError(
+        f"no frame codec for kind={kind} mime={mime} in this container"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per frame to extract.
 

@@ -78,3 +78,18 @@ def test_frame_sample_plan_gates_unframeable_rows(spark):
     single = [r for r in plan_rows if r.media_id == 6]
     assert [(r.frame_idx, r.ts_ms) for r in single] == [(0, 0)]
     assert all(r.ts_ms is not None for r in plan_rows)
+
+
+def test_fetch_frames_decodes_only_sampled(spark):
+    """The fetch stage touches exactly the plan's rows — payloads
+    travel per sampled frame — and codec gaps quarantine per frame."""
+    from latex_ocr_spark.operators.multimodal import fetch_frames
+
+    df = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    plan = frame_sample_plan(df, every_ms=1000)
+    n_plan = plan.count()
+    got = fetch_frames(df, plan).collect()
+    assert len(got) == n_plan  # one output row per planned frame
+    for r in got:
+        assert r.feature is None and "no frame codec" in r.decode_error
+        assert r.ts_ms is not None
