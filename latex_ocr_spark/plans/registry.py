@@ -803,6 +803,35 @@ def a9_part_size_histogram(spark, sf):
 
 
 @register(
+    "a10_length_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(round(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def a10_length_percentiles(spark, sf):
+    """Exact linear-interpolated percentiles of document length per
+    language — the length-distribution profile a curation pipeline
+    reports before choosing truncation/bucket thresholds.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation rule, so the comparison is value-exact.  (At 100 TB
+    you'd flip to ``approx_percentile`` — same plan shape, sketch
+    mergeable map-side; the exact form is the oracle-checkable
+    contract.)"""
+    docs = _docs(spark, sf)
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT md5(text) AS text_hash,
