@@ -112,9 +112,11 @@ def fetch_frames(media: DataFrame, plan: DataFrame, feature_dim: int = 8) -> Dat
     The join attaches each planned (media_id, frame_idx, ts_ms) row to
     its payload — the payload travels once per *sampled frame*, never
     per source frame, which is the point of planning before decoding.
-    The media side is typically the small one per batch and is
-    broadcast; at a scale where it isn't, remove the hint and let AQE
-    pick the shuffle join.
+    The PLAN side is broadcast: it is metadata-only (three numbers per
+    sampled frame), while the media side carries the payload bytes —
+    broadcasting payloads would ship the whole corpus to every
+    executor.  The payload-bearing side streams through the join
+    without a shuffle.
 
     Frame decode goes through the same codec boundary as
     :func:`extract_media_features`: no video codec in this container →
@@ -122,8 +124,8 @@ def fetch_frames(media: DataFrame, plan: DataFrame, feature_dim: int = 8) -> Dat
     task, and a real ffmpeg binding replaces ``_decode_frame_stub``
     without moving anything else.
     """
-    joined = plan.join(
-        F.broadcast(media.select("media_id", "kind", "mime", "payload")), "media_id"
+    joined = media.select("media_id", "kind", "mime", "payload").join(
+        F.broadcast(plan), "media_id"
     )
     schema = T.StructType(
         [
