@@ -548,7 +548,10 @@ def j5_posexplode_backfill(spark, sf):
 )
 def j1_index_equijoin(spark, sf):
     """J1 the load-bearing equi-join (dataset.py:60) as a star join;
-    small dims broadcast explicitly."""
+    small dims broadcast explicitly.  Scale note: nation is always
+    broadcastable; customer is only while it fits the executors (an
+    explicit hint overrides the size check) — at TPC-H sf where it
+    doesn't, drop that hint and AQE plans the shuffle join."""
     o = load_table(spark, "orders", sf)
     c = load_table(spark, "customer", sf)
     n = load_table(spark, "nation", sf)

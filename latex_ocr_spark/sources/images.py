@@ -57,7 +57,11 @@ def build_image_dataset(
     """The reference dataset constructor (dataset.py:57-79): probe
     sizes, filter to the legal dimension range, assign the ÷32 size
     bucket, join each image to its equation by line id.  The equations
-    side is broadcast — it is always tiny next to the image bytes."""
+    side is broadcast: at the reference's corpus scale (~10⁵ formulas,
+    ~10 MB) it fits every executor comfortably.  Broadcast needs
+    *absolute* smallness, not just smaller-than-images — beyond ~10⁸
+    formulas drop the hint and let the equi-join shuffle on eq_id (the
+    image side still never re-shuffles its payload more than once)."""
     from latex_ocr_spark.operators.images import (
         filter_dimensions,
         with_bucket,
