@@ -227,6 +227,17 @@ def run_scaling(convs: int) -> dict:
 def _write_baseline_md(scaling: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # hand-written sections appended after the generated block (## …)
+    # survive the refresh — only the measurement block is regenerated
+    extra = ""
+    try:
+        with open(path) as f:
+            old = f.read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            extra = old[cut:]
+    except FileNotFoundError:
+        pass
     rows = "".join(
         f"| {cfg} | {scaling['sec'][cfg]} | {scaling['throughput'][cfg]:,} |\n"
         for cfg in sorted(scaling["sec"], key=lambda s: int(s[6:-1]))
@@ -255,6 +266,7 @@ def _write_baseline_md(scaling: dict) -> None:
             "(the first pays\none-time Python-worker spawn + module import per core).\n"
             "Observed spread across whole --scaling invocations on this shared\n"
             "host is about ±0.05 (this file holds the latest run's numbers).\n"
+            + extra
         )
 
 
