@@ -69,6 +69,21 @@ def _decode_stub(kind: str, mime: str, payload: bytes):
     raise NotImplementedError(f"no codec for kind={kind} mime={mime} in this container")
 
 
+def _featurize_checked(decode, feature_dim: int):
+    """(feature, decode_error) from one decode attempt — the shared
+    histogram+quarantine step behind both media feature stages; a
+    change to binning/rounding/error format lands in both at once."""
+    import numpy as np
+
+    try:
+        arr = decode()
+        hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 255))
+        total = max(int(hist.sum()), 1)
+        return [round(float(h) / total, 6) for h in hist], None
+    except Exception as exc:  # corrupt payloads quarantine too
+        return None, f"{type(exc).__name__}: {exc}"
+
+
 def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     """Decode + feature-extract per Arrow batch.
 
@@ -79,8 +94,6 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     schema = T.StructType(list(media.schema.fields) + _FEATURE_FIELDS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             pdf = pdf.copy()
             n_bytes: List[int] = []
@@ -89,15 +102,11 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             for kind, mime, payload in zip(pdf["kind"], pdf["mime"], pdf["payload"]):
                 blob = bytes(payload) if payload is not None else b""
                 n_bytes.append(len(blob))
-                try:
-                    arr = _decode_stub(kind, mime, blob)
-                    hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 255))
-                    total = max(int(hist.sum()), 1)
-                    feats.append([round(float(h) / total, 6) for h in hist])
-                    errs.append(None)
-                except Exception as exc:  # corrupt payloads quarantine too
-                    feats.append(None)
-                    errs.append(f"{type(exc).__name__}: {exc}")
+                feat, err = _featurize_checked(
+                    lambda k=kind, m=mime, b=blob: _decode_stub(k, m, b), feature_dim
+                )
+                feats.append(feat)
+                errs.append(err)
             pdf["n_bytes"] = pd.Series(n_bytes, dtype="int64")
             pdf["feature"] = feats
             pdf["decode_error"] = errs
@@ -112,11 +121,12 @@ def fetch_frames(media: DataFrame, plan: DataFrame, feature_dim: int = 8) -> Dat
     The join attaches each planned (media_id, frame_idx, ts_ms) row to
     its payload — the payload travels once per *sampled frame*, never
     per source frame, which is the point of planning before decoding.
-    The PLAN side is broadcast: it is metadata-only (three numbers per
-    sampled frame), while the media side carries the payload bytes —
-    broadcasting payloads would ship the whole corpus to every
-    executor.  The payload-bearing side streams through the join
-    without a shuffle.
+    No join hint: the plan side is narrow (three numbers per sampled
+    frame) but its ROW COUNT is proportional to the corpus, so a
+    forced broadcast would eventually exceed the broadcast limit;
+    below the auto-broadcast threshold Spark picks the broadcast
+    itself, above it the equi-join shuffles on media_id and the
+    payload bytes still move at most once.
 
     Frame decode goes through the same codec boundary as
     :func:`extract_media_features`: no video codec in this container →
@@ -125,7 +135,7 @@ def fetch_frames(media: DataFrame, plan: DataFrame, feature_dim: int = 8) -> Dat
     without moving anything else.
     """
     joined = media.select("media_id", "kind", "mime", "payload").join(
-        F.broadcast(plan), "media_id"
+        plan, "media_id"
     )
     schema = T.StructType(
         [
@@ -138,24 +148,19 @@ def fetch_frames(media: DataFrame, plan: DataFrame, feature_dim: int = 8) -> Dat
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             feats, errs = [], []
             for kind, mime, payload, idx in zip(
                 pdf["kind"], pdf["mime"], pdf["payload"], pdf["frame_idx"]
             ):
-                try:
-                    arr = _decode_frame_stub(
-                        kind, mime, bytes(payload) if payload is not None else b"", int(idx)
-                    )
-                    hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 255))
-                    total = max(int(hist.sum()), 1)
-                    feats.append([round(float(h) / total, 6) for h in hist])
-                    errs.append(None)
-                except Exception as exc:
-                    feats.append(None)
-                    errs.append(f"{type(exc).__name__}: {exc}")
+                feat, err = _featurize_checked(
+                    lambda k=kind, m=mime, p=payload, i=idx: _decode_frame_stub(
+                        k, m, bytes(p) if p is not None else b"", int(i)
+                    ),
+                    feature_dim,
+                )
+                feats.append(feat)
+                errs.append(err)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
