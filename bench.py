@@ -92,12 +92,12 @@ HEADLINE = [
     "j1_index_equijoin",
     "a1_vocab_termfreq",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_embedding",
     "dedup_lsh_jaccard",
     "dedup_simhash",
     "ann_cosine_topk",
-    "text_quality",
-    "x1_dollar_spans",
+    "text_profile",
+    "x1_math_spans",
 ]
 
 

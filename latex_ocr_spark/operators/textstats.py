@@ -172,3 +172,36 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col).cast("long").alias("id"),
         F.md5(normed).alias("fingerprint"),
     )
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counts + quality features + fingerprint in ONE projection
+    (id, n_tokens, n_chars_seen, mean_token_len, stopword_ratio,
+    punct_ratio, fingerprint).
+
+    All seven outputs are per-row expressions over the same text
+    column, so the composed profile is a single whole-stage-codegen
+    select over one pruned scan — strictly cheaper than running
+    :func:`token_counts`, :func:`quality_scores`, and
+    :func:`fingerprints` as separate jobs (or worse, joining them
+    back on id).  tests/test_textstats.py pins each column equal to
+    its standalone operator."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        n.cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_seen"),
+        F.round(
+            F.when(n > 0, (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n)).otherwise(0.0), 4
+        ).alias("mean_token_len"),
+        F.round(F.when(n > 0, n_stop / n).otherwise(0.0), 4).alias("stopword_ratio"),
+        F.round(
+            F.when(F.length(F.col(text_col)) > 0, n_punct / F.length(F.col(text_col))).otherwise(0.0), 4
+        ).alias("punct_ratio"),
+        F.md5(normed).alias("fingerprint"),
+    )

@@ -40,7 +40,7 @@ def test_column_pruning_reaches_scan(spark, sf_small):
     assert "l_quantity" in plan and "l_extendedprice" in plan
     assert "l_comment" not in plan and "l_shipmode" not in plan
 
-    plan = _plan(spark, sf_small, "x1_dollar_spans")
+    plan = _plan(spark, sf_small, "x1_math_spans")
     assert "ReadSchema: struct<doc_id:bigint>" in plan  # text/lang/n_chars pruned
 
 

@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GOLDEN_DIR = "/root/repo/resources/goldens"
+from latex_ocr_spark.paths import GOLDEN_DIR  # noqa: E402 — repo-relative, Spark-free
+
 TESTDATA_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 # Java's \s (ASCII-only), which Spark's split() uses — Python's \s is
