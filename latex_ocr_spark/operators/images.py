@@ -28,6 +28,15 @@ from pyspark.sql import types as T
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: data-dependent decode failures (corrupt, truncated, or foreign
+#: bytes) — the ONLY exceptions the quarantine paths may swallow.
+#: Anything else (AttributeError, TypeError, NameError, a numpy shape
+#: bug, …) is a coding bug and must fail the task: a catch-all that
+#: nulls every row makes a broken kernel look like a clean run
+#: (round-2 verdict #2; mirrors the reference's own fail-fast
+#: page-count assertion, latex2png.py:83-85).
+DECODE_ERRORS = (NotImplementedError, ValueError, struct.error, zlib.error, IndexError)
+
 
 # ---------------------------------------------------------------------------
 # minimal grayscale PNG codec (fixture generation + decode plumbing)
@@ -301,6 +310,18 @@ def with_bucket(images: DataFrame, divable: int = 32) -> DataFrame:
     )
 
 
+def _preprocess_checked(png: bytes):
+    """(proc_png, w, h) for one payload, or (None, None, None) when the
+    bytes are undecodable (:data:`DECODE_ERRORS` only — coding bugs in
+    the pad/encode chain raise and fail the task; pinned by
+    tests/test_images.py)."""
+    try:
+        padded = pad_to_divisible(decode_png_gray(bytes(png)))
+    except DECODE_ERRORS:
+        return None, None, None
+    return encode_png_gray(padded), padded.shape[1], padded.shape[0]
+
+
 def preprocess_images(images: DataFrame, png_col: str = "png") -> DataFrame:
     """I1+I4: decode → pad-to-÷32 → re-encode, appending the processed
     PNG and its final dims.  Runs per Arrow batch; rows whose decode is
@@ -318,20 +339,10 @@ def preprocess_images(images: DataFrame, png_col: str = "png") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            outs, ws, hs = [], [], []
-            for b in pdf[png_col]:
-                try:
-                    padded = pad_to_divisible(decode_png_gray(bytes(b)))
-                    outs.append(encode_png_gray(padded))
-                    ws.append(padded.shape[1])
-                    hs.append(padded.shape[0])
-                except (NotImplementedError, Exception):
-                    outs.append(None)
-                    ws.append(None)
-                    hs.append(None)
-            pdf["proc_png"] = outs
-            pdf["proc_w"] = pd.Series(ws, dtype="Int32")
-            pdf["proc_h"] = pd.Series(hs, dtype="Int32")
+            rows = [_preprocess_checked(b) for b in pdf[png_col]]
+            pdf["proc_png"] = [r[0] for r in rows]
+            pdf["proc_w"] = pd.Series([r[1] for r in rows], dtype="Int32")
+            pdf["proc_h"] = pd.Series([r[2] for r in rows], dtype="Int32")
             yield pdf
 
     return images.mapInPandas(run, schema=schema)

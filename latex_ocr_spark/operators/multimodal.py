@@ -72,16 +72,24 @@ def _decode_stub(kind: str, mime: str, payload: bytes):
 def _featurize_checked(decode, feature_dim: int):
     """(feature, decode_error) from one decode attempt — the shared
     histogram+quarantine step behind both media feature stages; a
-    change to binning/rounding/error format lands in both at once."""
+    change to binning/rounding/error format lands in both at once.
+
+    Only data-dependent decode failures (images.DECODE_ERRORS: corrupt
+    /truncated/foreign bytes) quarantine; a coding bug in the decode or
+    histogram path (AttributeError, TypeError, …) raises and fails the
+    task instead of silently nulling every row (round-2 verdict #2;
+    pinned by tests/test_multimodal.py)."""
     import numpy as np
+
+    from latex_ocr_spark.operators.images import DECODE_ERRORS
 
     try:
         arr = decode()
-        hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 255))
-        total = max(int(hist.sum()), 1)
-        return [round(float(h) / total, 6) for h in hist], None
-    except Exception as exc:  # corrupt payloads quarantine too
+    except DECODE_ERRORS as exc:
         return None, f"{type(exc).__name__}: {exc}"
+    hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 255))
+    total = max(int(hist.sum()), 1)
+    return [round(float(h) / total, 6) for h in hist], None
 
 
 def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:

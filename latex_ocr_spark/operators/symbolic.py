@@ -129,13 +129,19 @@ def _subset_to_sympy_source(latex: str) -> str:
     return s
 
 
-def latex_to_sympy_str(latex: str) -> str:
+def latex_to_sympy_str(latex: str, use_full_parser: bool = True) -> str:
     """str(sympy expression) for a LaTeX string — the pure kernel
-    (golden generation imports this Spark-free)."""
+    (golden generation imports this Spark-free).
+
+    ``use_full_parser=False`` pins the subset converter even when
+    latex2sympy2/antlr4 happens to be installed — the registry's
+    golden-checked query uses this so oracle parity never depends on
+    optional packages (the committed golden was generated with the
+    subset converter)."""
     import sympy
 
     normalized = _RE_OPNAME.sub(r"\g<1>", latex)  # gui.py:28
-    if _FULL_PARSER is not None:  # pragma: no cover
+    if use_full_parser and _FULL_PARSER is not None:  # pragma: no cover
         return str(_FULL_PARSER(normalized))
     src = _subset_to_sympy_source(normalized)
     # every identifier is a plain Symbol unless whitelisted as a
@@ -148,17 +154,33 @@ def latex_to_sympy_str(latex: str) -> str:
     return str(sympy.sympify(src, locals=local_syms, evaluate=True))
 
 
-def convert_checked(latex: Optional[str]) -> Tuple[Optional[str], Optional[str]]:
-    """(sympy_str, convert_error) — never raises."""
+#: exception classes that can only come from a coding bug, never from
+#: adversarial input — the quarantine must NOT swallow these (a bug
+#: that nulls every row looks like a clean run; round-2 verdict #2)
+BUG_ERRORS = (NameError, UnboundLocalError, ImportError)
+
+
+def convert_checked(
+    latex: Optional[str], use_full_parser: bool = True
+) -> Tuple[Optional[str], Optional[str]]:
+    """(sympy_str, convert_error) — never raises *on input*: malformed
+    LaTeX of any shape quarantines (sympify's failure surface is
+    unboundedly typed, so the catch is broad by design), but coding
+    bugs in the kernel itself (:data:`BUG_ERRORS`) propagate and fail
+    the task."""
     if latex is None:
         return None, "null input"
     try:
-        return latex_to_sympy_str(latex), None
+        return latex_to_sympy_str(latex, use_full_parser=use_full_parser), None
+    except BUG_ERRORS:
+        raise
     except Exception as exc:
         return None, f"{type(exc).__name__}: {exc}"
 
 
-def with_sympy(df: DataFrame, latex_col: str = "latex_norm") -> DataFrame:
+def with_sympy(
+    df: DataFrame, latex_col: str = "latex_norm", use_full_parser: bool = True
+) -> DataFrame:
     """Append ``sympy_str``/``convert_error`` columns."""
     schema = T.StructType(
         list(df.schema.fields)
@@ -171,7 +193,7 @@ def with_sympy(df: DataFrame, latex_col: str = "latex_norm") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            out = [convert_checked(s) for s in pdf[latex_col]]
+            out = [convert_checked(s, use_full_parser=use_full_parser) for s in pdf[latex_col]]
             pdf["sympy_str"] = [o[0] for o in out]
             pdf["convert_error"] = [o[1] for o in out]
             yield pdf

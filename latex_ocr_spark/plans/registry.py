@@ -1265,7 +1265,10 @@ def x12_sympy_convert(spark, sf):
     r"""T18 LaTeX→sympy conversion (gui.py:27-30) over templated
     spans: supported subset converts, out-of-subset rows quarantine
     with ``convert_error`` (same policy as the media codec boundary).
-    Oracle = golden parquet from the same pure kernel run Spark-free."""
+    Oracle = golden parquet from the same pure kernel run Spark-free.
+    ``use_full_parser=False`` pins the subset converter so parity with
+    the committed golden never depends on whether latex2sympy2/antlr4
+    happens to be installed (round-2 advice #4)."""
     from latex_ocr_spark.operators.symbolic import with_sympy
 
     i = F.col("id").cast("string")
@@ -1277,7 +1280,9 @@ def x12_sympy_convert(spark, sf):
         .otherwise(F.concat(F.lit("operatorname*{sin}(t_"), i, F.lit(")")))
     )
     df = spark.range(500).select(F.col("id").alias("span_id"), latex.alias("latex_norm"))
-    return with_sympy(df).select("span_id", "sympy_str", "convert_error")
+    return with_sympy(df, use_full_parser=False).select(
+        "span_id", "sympy_str", "convert_error"
+    )
 
 
 @register(

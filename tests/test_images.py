@@ -136,3 +136,32 @@ def test_render_text_gray_geometry_and_determinism():
     assert back.shape[0] == 15
     # empty text still renders a valid (blank) image
     assert render_text_gray("").shape == (15, 9)
+
+
+def test_quarantine_swallows_only_decode_errors(monkeypatch):
+    """Round-2 verdict #2: corrupt/foreign bytes quarantine, but an
+    injected coding bug in the pad/encode chain must RAISE — a
+    catch-all that nulls every row makes a broken kernel look like a
+    clean run."""
+    import numpy as np
+    import pytest
+
+    from latex_ocr_spark.operators import images as I
+
+    # data-dependent failures → (None, None, None)
+    for corrupt in (
+        b"",                                  # empty
+        b"not a png at all",                  # wrong magic
+        I._PNG_MAGIC + b"\x00\x01",           # truncated header (struct.error)
+        I.encode_png_gray(np.zeros((4, 4), dtype=np.uint8))[:40],  # truncated mid-IDAT (zlib.error)
+    ):
+        assert I._preprocess_checked(corrupt) == (None, None, None), corrupt[:16]
+
+    # an injected bug (e.g. an API typo inside the kernel) must raise
+    def buggy_pad(arr, divable=32):
+        return arr.reshap(1, -1)  # AttributeError: no such numpy method
+
+    monkeypatch.setattr(I, "pad_to_divisible", buggy_pad)
+    good = I.encode_png_gray(np.full((8, 8), 200, dtype=np.uint8))
+    with pytest.raises(AttributeError):
+        I._preprocess_checked(good)

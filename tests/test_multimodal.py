@@ -93,3 +93,27 @@ def test_fetch_frames_decodes_only_sampled(spark):
     for r in got:
         assert r.feature is None and "no frame codec" in r.decode_error
         assert r.ts_ms is not None
+
+
+def test_featurize_quarantines_decode_errors_but_raises_bugs():
+    """Round-2 verdict #2: only data-dependent decode failures
+    (DECODE_ERRORS) quarantine; a coding bug in the decode path must
+    fail the task, not null the row."""
+    import pytest
+
+    from latex_ocr_spark.operators.multimodal import _featurize_checked
+
+    feat, err = _featurize_checked(
+        lambda: (_ for _ in ()).throw(NotImplementedError("no codec")), 8
+    )
+    assert feat is None and "no codec" in err
+
+    feat, err = _featurize_checked(
+        lambda: (_ for _ in ()).throw(ValueError("bad stream")), 8
+    )
+    assert feat is None and "bad stream" in err
+
+    with pytest.raises(AttributeError):
+        _featurize_checked(lambda: (_ for _ in ()).throw(AttributeError("typo")), 8)
+    with pytest.raises(TypeError):
+        _featurize_checked(lambda: (_ for _ in ()).throw(TypeError("bug")), 8)

@@ -69,3 +69,32 @@ def test_with_sympy_spark(spark):
     assert rows[0].sympy_str == "x**2" and rows[0].convert_error is None
     assert rows[1].sympy_str is None and "NotImplementedError" in rows[1].convert_error
     assert rows[2].sympy_str is None
+
+
+def test_convert_checked_raises_on_kernel_bugs(monkeypatch):
+    """Quarantine is for adversarial input, not for our bugs: an
+    injected NameError/ImportError in the kernel must propagate
+    (round-2 verdict #2)."""
+    import pytest
+
+    from latex_ocr_spark.operators import symbolic as S
+
+    def buggy(latex, use_full_parser=True):
+        raise NameError("typo_in_kernel")
+
+    monkeypatch.setattr(S, "latex_to_sympy_str", buggy)
+    with pytest.raises(NameError):
+        S.convert_checked("x^2")
+
+
+def test_registry_x12_pins_subset_converter(monkeypatch):
+    """Even with a full-grammar parser installed, the golden-checked
+    query must keep using the subset converter (round-2 advice #4)."""
+    from latex_ocr_spark.operators import symbolic as S
+
+    sentinel = lambda s: (_ for _ in ()).throw(AssertionError("full parser used"))
+    monkeypatch.setattr(S, "_FULL_PARSER", sentinel)
+    # pinned path ignores the installed parser
+    assert S.latex_to_sympy_str("x^2", use_full_parser=False) == "x**2"
+    got, err = S.convert_checked("x^2", use_full_parser=False)
+    assert got == "x**2" and err is None

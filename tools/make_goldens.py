@@ -305,7 +305,9 @@ def make_x12_sympy_convert():
             latex = "\\int_0^%d f" % i
         else:
             latex = "operatorname*{sin}(t_%d)" % i
-        s, e = convert_checked(latex)
+        # subset converter pinned — the registry query pins the same,
+        # so parity never depends on optional full-grammar parsers
+        s, e = convert_checked(latex, use_full_parser=False)
         ids.append(i)
         strs.append(s)
         errs.append(e)
