@@ -43,11 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from latex_ocr_spark import cachepool
     from latex_ocr_spark.plans.registry import QUERIES
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ship_package(spark)
+            # query-boundary cache ownership: frames persisted by the
+            # PREVIOUS query (dedup shingles, tf-idf tf, global-id
+            # ranges) are released here, after its result was consumed
+            # and before this query plans — a 50-query session holds at
+            # most one query's caches at a time
+            cachepool.release()
             return fn(spark, sf_dir)
 
         return run

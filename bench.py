@@ -113,15 +113,19 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     flagship_sec = run_flagship(spark, BENCH_CONVS, parallelism=cpus)
     timings["extract_transcripts"] = round(flagship_sec, 3)
 
+    from latex_ocr_spark import cachepool
+
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
         for _attempt in range(2):  # report warm/steady-state timing
+            cachepool.release()  # a timing never includes another run's caches
             t0 = time.time()
             _noop_write(fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    cachepool.release()
 
     n_turns = flagship_turns(spark, BENCH_CONVS)
     turns_per_sec = n_turns / flagship_sec

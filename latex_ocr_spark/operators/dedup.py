@@ -11,16 +11,19 @@ training-data stack, built Spark-first:
   equi-join, never an O(n²) cross join.
 
 Caching policy: frames feeding both sides of a self-join are
-``persist()``-ed (Spark recomputes a self-join's lineage per side) and
-intentionally left cached for the session — these operators are
-terminal analytics over a corpus snapshot; a long-lived service should
-``spark.catalog.clearCache()`` between corpora.
+persisted (Spark recomputes a self-join's lineage per side) via
+``cachepool.track`` — owned by the query boundary: the next query (or
+an explicit ``cachepool.release()``) unpersists them, so a many-query
+session (driver harness, bench.py, pytest) never accumulates stale
+caches that evict later queries' working set (round-2 verdict #3).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from latex_ocr_spark import cachepool
 
 
 def _tokens(col: str):
@@ -112,8 +115,9 @@ def jaccard_pairs(
     # the shingle table feeds both join sides, the size table and (with
     # max_df) the hot-shingle aggregate — persist the RAW frame before
     # deriving anything, or the dominant explode+distinct shuffle runs
-    # once per consumer
-    sh = doc_shingles(docs, text_col, id_col, ngram).persist()
+    # once per consumer (cachepool-owned: released at the next query
+    # boundary)
+    sh = cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
     if max_df is not None:
         sh = _drop_hot_keys(sh, ["shingle"], max_df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -199,7 +203,8 @@ def lsh_candidate_pairs(
     )
     keyed = sig.select(
         "id", F.posexplode(bands).alias("band_idx", "band_key")
-    ).persist()  # both sides of the candidate self-join read this
+    )
+    keyed = cachepool.track(keyed)  # both sides of the candidate self-join read this
     if max_bucket_size is not None:
         keyed = _drop_hot_keys(keyed, ["band_idx", "band_key"], max_bucket_size)
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -232,7 +237,7 @@ def lsh_verified_pairs(
     2^(128/band) band-key space.  Recall is that of MinHash-LSH
     (tunable via num_hashes/band_size); precision is exact.
     """
-    sh = doc_shingles(docs, text_col, id_col, ngram).persist()
+    sh = cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
     cand = lsh_candidate_pairs(
         docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh
     )

@@ -26,6 +26,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from latex_ocr_spark import cachepool
+
 _PID = "__gid_pid"
 _LOCAL = "__gid_local"
 
@@ -44,15 +46,18 @@ def with_global_ids(
     because partition *membership* must be identical in both — range
     boundaries come from order-sensitive reservoir sampling, so a
     recomputation after unpersist could reshuffle rows across pids and
-    desynchronize ids from offsets.  Same session-lifetime caching
-    policy as operators/dedup.py self-joins.
+    desynchronize ids from offsets.  The persist is registered with
+    :mod:`latex_ocr_spark.cachepool`: it stays pinned until the NEXT
+    query boundary (after this query's result is consumed), then the
+    pool releases it — caches no longer accumulate across a many-query
+    session.
     """
     cols = [F.col(c) for c in order_cols]
     if num_partitions:
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:
         ranged = df.repartitionByRange(*cols)
-    ranged = ranged.withColumn(_PID, F.spark_partition_id()).persist()
+    ranged = cachepool.track(ranged.withColumn(_PID, F.spark_partition_id()))
     counts = dict(
         (r[_PID], r["n"])
         for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("n")).collect()

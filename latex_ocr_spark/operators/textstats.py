@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from latex_ocr_spark import cachepool
+
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
@@ -120,13 +122,14 @@ def tf_idf(
     (tf already has exactly one row per (id, tok), so ``count(*)`` per
     tok is the document frequency) and tf is persisted because it
     feeds both the join and the df aggregation — the scan+explode, the
-    dominant cost, runs exactly once (same policy as dedup.py's
-    self-join frames).  N rides along as a broadcast scalar (a count,
-    not a collect of rows)."""
+    dominant cost, runs exactly once.  The persist is owned by the
+    query boundary (cachepool.track → released before the next query).
+    N rides along as a broadcast scalar (a count, not a collect of
+    rows)."""
     n_docs = docs.count()
     toks = _tokens(text_col)
     exploded = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    tf = exploded.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = cachepool.track(exploded.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "tok")
