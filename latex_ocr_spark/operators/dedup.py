@@ -88,6 +88,33 @@ def doc_shingles(
     )
 
 
+
+def _jaccard_from_intersections(inter, sh, threshold: float):
+    """(a_id, b_id, jaccard) from an intersection-count frame + the
+    shingle frame: |A∩B| / (|A| + |B| - |A∩B|), rounded and gated.
+    Shared by the exact self-join path and the LSH-verified path so the
+    denominator arithmetic can never drift between them."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_shingles", "a_n"),
+            "a_id",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_shingles", "b_n"),
+            "b_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -120,23 +147,13 @@ def jaccard_pairs(
     sh = cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
     if max_df is not None:
         sh = _drop_hot_keys(sh, ["shingle"], max_df)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_shingles", "a_n"), "a_id")
-        .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_shingles", "b_n"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _jaccard_from_intersections(inter, sh, threshold)
 
 
 def minhash_signatures(
@@ -241,7 +258,6 @@ def lsh_verified_pairs(
     cand = lsh_candidate_pairs(
         docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")
     inter = (
@@ -250,24 +266,7 @@ def lsh_verified_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_shingles", "a_n"),
-            "a_id",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_shingles", "b_n"),
-            "b_id",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _jaccard_from_intersections(inter, sh, threshold)
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

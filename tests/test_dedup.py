@@ -112,3 +112,34 @@ def test_lsh_bucket_cap_bounds_degenerate_keys(spark):
     }
     assert (100, 101) in capped          # ordinary bucket untouched
     assert all(a >= 100 for a, _ in capped)  # monster bucket dropped
+
+
+def test_duplicate_clusters_long_chain_near_max_iter(spark):
+    """A path-shaped component (worst case for min-label propagation:
+    the min label travels ONE hop per round) sized near the default
+    max_iter must still converge — proving the guard triggers on real
+    non-convergence, not on realistic diameters.  Cost model: rounds =
+    diameter + 1 confirming round, one shuffle each."""
+    from latex_ocr_spark.operators.dedup import duplicate_clusters
+
+    k = 22  # diameter 21 + 1 confirming round < max_iter=25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, k)], "a_id long, b_id long"
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, k + 1)}
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """When a component's diameter exceeds max_iter the operator must
+    RAISE, never return a silently split component (a partial result
+    keeps several 'canonical' copies of one duplicate group)."""
+    import pytest
+
+    from latex_ocr_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=3)

@@ -60,3 +60,101 @@ def test_unsalted_whale_would_pin(spark):
         .collect()
     )
     assert max(r["count"] for r in sizes) >= N_WHALE
+
+
+def _skewed_fact(spark, n_whale=200_000, n_keys=50):
+    """One whale key carrying n_whale rows; the rest tiny."""
+    whale = spark.range(n_whale).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    )
+    rest = spark.range(n_keys * 20).select(
+        (F.col("id") % n_keys + 1).cast("long").alias("k"), F.col("id").alias("v")
+    )
+    return whale.unionByName(rest)
+
+
+def test_aqe_skew_split_engages_on_whale_key_join(spark):
+    """The J1-class equi-join under skew: with broadcast off (the
+    regime where the dim no longer fits) AQE must split the whale
+    partition at runtime — asserted via the final adaptive plan's
+    skew marker, not prose.  Thresholds are scaled to the fixture the
+    same way the defaults are scaled to production partitions."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        fact = _skewed_fact(spark)
+        dim = spark.range(51).select(
+            F.col("id").alias("k"), F.concat(F.lit("name-"), F.col("id")).alias("name")
+        )
+        joined = fact.join(dim, "k")
+        # materialize THIS DataFrame's execution (count() would plan a
+        # separate query and leave this one's adaptive plan non-final)
+        assert len(joined.collect()) == 201_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew split did not engage:\n" + plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_equi_join_matches_plain_and_spreads_whale(spark):
+    """The explicit-salt fallback: result identical to the plain join,
+    whale rows spread across many shuffle partitions."""
+    from latex_ocr_spark.operators.joins import salted_equi_join
+
+    fact = _skewed_fact(spark, n_whale=20_000, n_keys=20)
+    dim = spark.range(21).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    salted = salted_equi_join(fact, dim, on="k", salt=16)
+    plain = fact.join(dim, "k")
+    assert salted.count() == plain.count()
+    assert (
+        salted.unionByName(plain).groupBy("k", "v", "name").count()
+        .filter(F.col("count") != 2).count() == 0
+    )  # exact multiset equality
+
+    # mechanism check: the whale's rows scatter over all 16 (k, salt)
+    # sub-keys — the shuffle-key dispersion that breaks the pin.  (The
+    # post-shuffle partition count is AQE-coalesced at this fixture
+    # size, so assert the dispersion, not the coalesced layout.)
+    n_subkeys = (
+        fact.filter(F.col("k") == 0)
+        .select(F.pmod(F.xxhash64("k", "v"), F.lit(16)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_subkeys == 16, f"whale scattered over only {n_subkeys} sub-keys"
+    spread = (
+        salted.filter(F.col("k") == 0)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert spread > 1, "whale key still pinned to one partition"
+
+
+def test_salted_left_join_keeps_unmatched_probe_rows(spark):
+    from latex_ocr_spark.operators.joins import salted_equi_join
+
+    probe = spark.range(10).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    build = spark.createDataFrame([(0, "zero")], "k long, name string")
+    out = salted_equi_join(probe, build, on="k", salt=4, how="left").collect()
+    assert len(out) == 10
+    assert all((r.k == 0) == (r.name == "zero") for r in out)
