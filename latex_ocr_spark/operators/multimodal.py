@@ -201,12 +201,18 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     # sequence(0, n-1, step) throw (negative range) — they carry no
     # sampleable frames, so gate them out rather than failing the whole
     # job on one malformed row.  Single-frame videos ARE kept: they
-    # emit frame 0 at ts 0.
-    v = media.filter(
-        (F.col("kind") == "video") & (F.col("meta.n_frames") >= 1)
-    )
+    # emit frame 0 at ts 0.  Multi-frame videos with missing/zero
+    # duration are gated out too: time-based sampling has no derivable
+    # timestamps there, and emitting ts_ms=0 for every frame (the old
+    # coalesce) made missing metadata indistinguishable from genuine
+    # t=0 frames downstream (round-2 advice #2).
     n = F.col("meta.n_frames")
     dur = F.col("meta.duration_ms")
+    v = media.filter(
+        (F.col("kind") == "video")
+        & (n >= 1)
+        & ((n == 1) | (dur.isNotNull() & (dur > 0)))
+    )
     fps_ms = F.when(n > 1, dur / (n - 1)).otherwise(F.lit(None))
     step = F.greatest(F.ceil(F.lit(every_ms) / fps_ms), F.lit(1)).cast("int")
     return (
@@ -217,9 +223,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.explode(F.sequence(F.lit(0), n - 1, F.col("_step"))).alias("frame_idx"),
             F.col("_fps_ms"),
         )
-        # coalesce: a 1-frame video has no frame spacing (fps_ms NULL)
-        # but its only frame is unambiguously at t=0 — downstream decode
-        # keys on ts_ms and must never see NULL for a kept row
+        # a 1-frame video has no frame spacing (fps_ms NULL) but its
+        # only frame is unambiguously at t=0; every other kept row has
+        # non-null fps_ms by the gate above — downstream decode keys on
+        # ts_ms and never sees NULL for a kept row
         .withColumn(
             "ts_ms",
             F.coalesce(

@@ -93,6 +93,25 @@ def read_tex_payload(blob: bytes) -> Tuple[int, str]:
     return len(texts), "".join(texts)
 
 
+def _fallback_decode_failed(blob: bytes) -> bool:
+    """True iff ``blob`` took read_tex_payload's not-a-tar fallback AND
+    the utf-8 decode failed — i.e. (0, '') means 'no decodable tex',
+    not 'tar with no .tex members'.  Only consulted for empty results,
+    so the re-probe costs nothing on the hot path."""
+    if not blob:
+        return False
+    try:
+        with tarfile.open(fileobj=io.BytesIO(blob)):
+            return False  # a real (possibly .tex-free) tar — legit empty
+    except tarfile.ReadError:
+        pass
+    try:
+        blob.decode("utf-8")
+        return False
+    except UnicodeDecodeError:
+        return True
+
+
 def paper_from_blob(path: str, blob: bytes) -> Tuple[str, int, Optional[str], Optional[str]]:
     """(paper_id, n_tex_files, tex, demacro_error) for one source.
 
@@ -107,6 +126,14 @@ def paper_from_blob(path: str, blob: bytes) -> Tuple[str, int, Optional[str], Op
     n = 0
     try:
         n, tex = read_tex_payload(blob)
+        if n == 0 and not tex and _fallback_decode_failed(blob):
+            # a source that is neither a tar nor decodable text would
+            # otherwise be indistinguishable from a legitimately empty
+            # paper (a real tar with zero .tex members, which the
+            # reference yields silently, arxiv.py:75-80) — keep the
+            # never-raise contract but make the data-quality gap
+            # visible in the quarantine column
+            return pid, 0, None, "no decodable tex"
         return pid, n, expand_macros(tex), None
     except Exception as exc:  # decompress/untar corruption, demacro guards
         return pid, n, None, f"{type(exc).__name__}: {exc}"

@@ -117,3 +117,25 @@ def test_featurize_quarantines_decode_errors_but_raises_bugs():
         _featurize_checked(lambda: (_ for _ in ()).throw(AttributeError("typo")), 8)
     with pytest.raises(TypeError):
         _featurize_checked(lambda: (_ for _ in ()).throw(TypeError("bug")), 8)
+
+
+def test_frame_plan_gates_multiframe_video_with_missing_duration(spark):
+    """A multi-frame video whose duration_ms is NULL (or 0) has no
+    derivable frame timestamps — it must be excluded from the plan,
+    never emitted with ts_ms=0 on every frame (round-2 advice #2).
+    Single-frame videos stay, at the unambiguous t=0."""
+    rows = [
+        (1, "video", "video/mp4", None, (640, 360, None, None, 100)),   # NULL dur, multi
+        (2, "video", "video/mp4", None, (640, 360, 0, None, 100)),      # zero dur, multi
+        (3, "video", "video/mp4", None, (640, 360, None, None, 1)),     # 1-frame, NULL dur
+        (4, "video", "video/mp4", None, (640, 360, 4000, None, 5)),     # healthy
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = frame_sample_plan(df, every_ms=1000).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms))
+    assert 1 not in by_id and 2 not in by_id
+    assert by_id[3] == [(0, 0)]
+    assert by_id[4][0] == (0, 0) and len(by_id[4]) > 1
+    assert all(ts is not None for frames in by_id.values() for _i, ts in frames)

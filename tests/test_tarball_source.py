@@ -131,3 +131,33 @@ def test_tgz_and_bare_tar_also_scanned(spark, tmp_path):
 
     rows = {r.paper_id for r in read_tex_archives(spark, str(d)).collect()}
     assert rows == {"2003.99991", "2003.99992", "2003.99993"}
+
+
+def test_undecodable_non_tar_is_flagged_not_silently_empty():
+    """A source that is neither a tar nor utf-8 text must carry a
+    non-null quarantine reason — previously it produced (0, '', None)
+    and was indistinguishable from a legitimately empty paper
+    (round-2 advice #3).  A real tar with zero .tex members stays a
+    silent empty, matching the reference (arxiv.py:75-80)."""
+    import gzip
+    import io
+    import tarfile
+
+    # valid gzip, not a tar, bytes undecodable as utf-8
+    garbage = gzip.compress(b"\xff\xfe\x00binary" * 10)
+    pid, n, tex, err = paper_from_blob("junk.tar.gz", garbage)
+    assert (n, tex) == (0, None) and err == "no decodable tex"
+
+    # raw undecodable bytes (no gzip) — same flag
+    pid, n, tex, err = paper_from_blob("junk2.tar.gz", b"\x89PNG\r\n\x1a\n\x00\x01")
+    assert err == "no decodable tex"
+
+    # a genuine tar with no .tex members stays a silent empty paper
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        data = b"not tex"
+        info = tarfile.TarInfo("readme.md")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    pid, n, tex, err = paper_from_blob("empty.tar.gz", buf.getvalue())
+    assert (n, tex, err) == (0, "", None)
