@@ -51,6 +51,54 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: spark-submit configuration for the production deployment, where the
+#: transcripts live in an Iceberg table (BASELINE.json north rule).
+#: Iceberg implements Spark's DataSourceV2 catalog API, so the entire
+#: pipeline below reads it through the same ``spark.read.table`` call
+#: this repo tests against the built-in catalog — column pruning and
+#: partition/file pruning ride through unchanged, plus Iceberg adds
+#: metadata-level min/max file skipping on the pushed filters.
+#: (Public coordinates; the jar is not in this container, so the
+#: catalog seam is exercised with spark_catalog-managed tables.)
+ICEBERG_SUBMIT_CONF = {
+    "spark.jars.packages": "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0",
+    "spark.sql.extensions": (
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    ),
+    "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+    "spark.sql.catalog.lake.type": "hadoop",  # or 'hive'/'rest' per deployment
+    "spark.sql.catalog.lake.warehouse": "<warehouse-uri>",
+}
+
+
+def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
+    """The flagship input: a transcripts table with the BASELINE.json
+    input_hint schema (conv_id, turn_idx, role, text, tool, ts).
+
+    ``source`` is either a filesystem path (read as parquet — the test
+    substrate) or a catalog table identifier such as
+    ``lake.db.transcripts`` (read via ``spark.read.table`` — how an
+    Iceberg table is addressed once the catalog is configured, see
+    :data:`ICEBERG_SUBMIT_CONF`).  Both return the same logical plan
+    shape; everything downstream is source-agnostic.
+
+    The schema is validated eagerly: a wrong table wired into a
+    10¹²-turn job should fail at plan time, not after an hour of
+    extraction.
+    """
+    looks_like_path = os.sep in source or source.startswith(("file:", "s3:", "hdfs:"))
+    df = spark.read.parquet(source) if looks_like_path else spark.read.table(source)
+    want = {f.name: f.dataType for f in TRANSCRIPTS_SCHEMA.fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
+    missing = {n: t for n, t in want.items() if have.get(n) != t}
+    if missing:
+        raise ValueError(
+            f"transcripts source {source!r} does not match the input schema; "
+            f"missing/mistyped columns: {missing} (have: {have})"
+        )
+    return df.select(*want)  # prune extra columns, fix column order
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     for name in TESTDATA_TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
