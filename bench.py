@@ -71,6 +71,13 @@ def _exec_marker(spark) -> int:
 def _plan_cost(spark, marker: int) -> dict:
     """Aggregate shuffle-bytes-written + exchange node counts over every
     SQL execution with id > marker (i.e. the query run just timed)."""
+    # the status store is fed by the ASYNC listener bus — drain it
+    # first or a loaded host intermittently undercounts (exactly the
+    # false plan-regression signal this metric exists to eliminate)
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.5)  # older/newer signature — bounded fallback
     st = spark._jsparkSession.sharedState().statusStore()
     exes = st.executionsList()
     shuffle_bytes = 0

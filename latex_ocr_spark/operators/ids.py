@@ -41,22 +41,32 @@ def with_global_ids(
 ) -> DataFrame:
     """Append a contiguous global id ordered by ``order_cols``.
 
-    The intermediate range-partitioned frame is persisted because two
-    passes read it (the counts collect and the final projection) and
-    because partition *membership* must be identical in both — range
-    boundaries come from order-sensitive reservoir sampling, so a
-    recomputation after unpersist could reshuffle rows across pids and
-    desynchronize ids from offsets.  The persist is registered with
-    :mod:`latex_ocr_spark.cachepool`: it stays pinned until the NEXT
-    query boundary (after this query's result is consumed), then the
-    pool releases it — caches no longer accumulate across a many-query
-    session.
+    The intermediate range-partitioned frame is read by two passes
+    (the counts collect and the final projection) whose partition
+    *membership* must be identical — range boundaries come from
+    reservoir sampling, which is order-sensitive.  Two belts make
+    that hold:
+
+    - the input is ``sortWithinPartitions(order_cols)`` first (a local
+      sort, no shuffle), so each partition feeds the sampler a
+      deterministic row sequence — RangePartitioner's sampler is
+      seeded by partition id, so the boundaries (and therefore pid
+      membership) are then a pure function of the data and any
+      recomputation reproduces them bit-for-bit, even if the input
+      arrived through a shuffle whose fetch order varies per run;
+    - the frame is persisted (``cachepool.track``) so the common
+      sequential path never recomputes at all; the pool releases it at
+      the next query boundary.  With the determinism belt above, a
+      consumer that collects this result *after* a later query started
+      (deferred consumption) recomputes identical ids instead of
+      silently desyncing.
     """
     cols = [F.col(c) for c in order_cols]
+    stable = df.sortWithinPartitions(*cols)
     if num_partitions:
-        ranged = df.repartitionByRange(num_partitions, *cols)
+        ranged = stable.repartitionByRange(num_partitions, *cols)
     else:
-        ranged = df.repartitionByRange(*cols)
+        ranged = stable.repartitionByRange(*cols)
     ranged = cachepool.track(ranged.withColumn(_PID, F.spark_partition_id()))
     counts = dict(
         (r[_PID], r["n"])

@@ -310,11 +310,13 @@ def with_bucket(images: DataFrame, divable: int = 32) -> DataFrame:
     )
 
 
-def _preprocess_checked(png: bytes):
+def _preprocess_checked(png):
     """(proc_png, w, h) for one payload, or (None, None, None) when the
-    bytes are undecodable (:data:`DECODE_ERRORS` only — coding bugs in
-    the pad/encode chain raise and fail the task; pinned by
-    tests/test_images.py)."""
+    payload is NULL or undecodable (:data:`DECODE_ERRORS` only —
+    coding bugs in the pad/encode chain raise and fail the task;
+    pinned by tests/test_images.py)."""
+    if png is None:  # NULL binary column = data, not a bug
+        return None, None, None
     try:
         padded = pad_to_divisible(decode_png_gray(bytes(png)))
     except DECODE_ERRORS:

@@ -43,9 +43,14 @@ def salted_equi_join(
 ) -> DataFrame:
     """Equi-join with whale keys scattered over ``salt`` sub-keys.
 
-    - ``probe`` (the large / skewed side) gets a deterministic salt in
-      [0, salt): ``pmod(xxhash64(salt_cols))`` — by default every probe
-      column, so a whale key's rows spread uniformly;
+    - ``probe`` (the large / skewed side) gets a salt in [0, salt):
+      ``pmod(xxhash64(salt_cols, monotonically_increasing_id()))`` —
+      the per-row id term keeps byte-identical rows (exact duplicates
+      pre-dedup, precisely the whale shape a dedup corpus has) from
+      all hashing to ONE sub-key and re-pinning the partition.  The
+      salt value a given row gets is layout-dependent, but the join
+      RESULT is salt-independent (every salt value meets a full build
+      copy), so retries/oracles are unaffected;
     - ``build`` is replicated ``salt`` times (one copy per salt value)
       via a single ``explode`` — cost is salt × |build|, the standard
       trade: replication is linear, a pinned partition is not;
@@ -60,7 +65,11 @@ def salted_equi_join(
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
     cols = salt_cols or probe.columns
     salted_probe = probe.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt)).cast("int")
+        _SALT,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in cols], F.monotonically_increasing_id()),
+            F.lit(salt),
+        ).cast("int"),
     )
     replicated_build = build.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -61,7 +61,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 #: (Public coordinates; the jar is not in this container, so the
 #: catalog seam is exercised with spark_catalog-managed tables.)
 ICEBERG_SUBMIT_CONF = {
-    "spark.jars.packages": "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0",
+    # the runtime artifact is built per Spark minor — match it to the
+    # cluster's Spark (this repo runs Spark 4.1.x, hence runtime-4.1;
+    # a 3.5 cluster would ship iceberg-spark-runtime-3.5_2.12)
+    "spark.jars.packages": "org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:1.10.0",
     "spark.sql.extensions": (
         "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
     ),

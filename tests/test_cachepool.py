@@ -57,3 +57,20 @@ def test_track_release_roundtrip(spark):
     assert not _n_cached(spark)
     assert cachepool.release() >= 1
     assert _n_cached(spark)
+
+
+def test_deferred_consumption_after_release_keeps_ids_consistent(spark):
+    """A consumer may build query N's DataFrame, let query N+1 trigger
+    the boundary release, and only THEN collect query N (normal lazy-
+    Spark usage).  The recompute must reproduce identical partition
+    membership (the sortWithinPartitions determinism belt in ids.py) —
+    ids stay contiguous and unique instead of silently desyncing."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    deferred = qs["corpus_build"](spark, SF)       # ids frame tracked
+    qs["text_tfidf"](spark, SF).collect()          # boundary: releases it
+    rows = deferred.collect()                      # forces recompute
+    ids = sorted(r.eq_id for r in rows)
+    assert ids == list(range(1, len(ids) + 1)), "global ids desynced after release"
+    cachepool.release()

@@ -131,23 +131,42 @@ def test_salted_equi_join_matches_plain_and_spreads_whale(spark):
         .filter(F.col("count") != 2).count() == 0
     )  # exact multiset equality
 
-    # mechanism check: the whale's rows scatter over all 16 (k, salt)
-    # sub-keys — the shuffle-key dispersion that breaks the pin.  (The
-    # post-shuffle partition count is AQE-coalesced at this fixture
-    # size, so assert the dispersion, not the coalesced layout.)
-    n_subkeys = (
-        fact.filter(F.col("k") == 0)
-        .select(F.pmod(F.xxhash64("k", "v"), F.lit(16)).alias("s"))
-        .distinct()
-        .count()
-    )
-    assert n_subkeys == 16, f"whale scattered over only {n_subkeys} sub-keys"
     spread = (
         salted.filter(F.col("k") == 0)
         .withColumn("pid", F.spark_partition_id())
         .select("pid").distinct().count()
     )
     assert spread > 1, "whale key still pinned to one partition"
+
+
+def test_salted_join_scatters_byte_identical_duplicate_rows(spark):
+    """The whale shape a dedup corpus actually has: the hot key's rows
+    are exact copies.  A salt hashed from row VALUES alone would send
+    them all to one sub-key and re-pin the partition — the per-row id
+    term in the salt must scatter them (review finding r3)."""
+    from latex_ocr_spark.operators.joins import _SALT, salted_equi_join
+
+    dup_fact = (
+        spark.range(20_000)
+        .select(F.lit(0).alias("k"), F.lit("same-bytes").alias("v"))
+        .repartition(8)
+    )
+    dim = spark.createDataFrame([(0, "zero")], "k long, name string")
+    out = salted_equi_join(dup_fact, dim, on="k", salt=16)
+    assert out.count() == 20_000
+
+    # mechanism: recompute the internal salt the same way and assert
+    # the identical rows disperse over many sub-keys
+    n_subkeys = (
+        dup_fact.select(
+            F.pmod(
+                F.xxhash64("k", "v", F.monotonically_increasing_id()), F.lit(16)
+            ).alias(_SALT)
+        )
+        .distinct()
+        .count()
+    )
+    assert n_subkeys == 16, f"duplicate rows collapsed to {n_subkeys} sub-keys"
 
 
 def test_salted_left_join_keeps_unmatched_probe_rows(spark):

@@ -15,14 +15,29 @@ from latex_ocr_spark.operators.extract import extract_spans, with_stable_order
 from latex_ocr_spark.sources.tables import read_transcripts, synth_transcripts
 
 
+def _drop_table(spark, name):
+    """DROP TABLE + remove the managed location: the in-memory catalog
+    forgets tables between sessions but the warehouse directory
+    persists, and a later saveAsTable fails with
+    LOCATION_ALREADY_EXISTS."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def transcript_sources(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("tsrc") / "transcripts")
     df = synth_transcripts(spark, 40, parallelism=4)
     df.write.mode("overwrite").parquet(path)
-    spark.sql("DROP TABLE IF EXISTS transcripts_tbl")
+    _drop_table(spark, "transcripts_tbl")
     df.write.mode("overwrite").saveAsTable("transcripts_tbl")
-    return path, "transcripts_tbl"
+    yield path, "transcripts_tbl"
+    for t in ("transcripts_tbl", "not_transcripts", "transcripts_wide"):
+        _drop_table(spark, t)
 
 
 def test_path_and_catalog_reads_are_equivalent(spark, transcript_sources):
@@ -58,7 +73,7 @@ def test_catalog_read_keeps_pushdown_and_pruning(spark, transcript_sources):
 
 
 def test_wrong_schema_fails_at_plan_time(spark):
-    spark.sql("DROP TABLE IF EXISTS not_transcripts")
+    _drop_table(spark, "not_transcripts")
     spark.range(5).selectExpr("id AS conv_id", "id AS other").write.saveAsTable(
         "not_transcripts"
     )
@@ -69,7 +84,7 @@ def test_wrong_schema_fails_at_plan_time(spark):
 def test_extra_columns_are_pruned_and_order_fixed(spark, transcript_sources):
     path, _table = transcript_sources
     widened = spark.read.parquet(path).withColumn("extra", F.lit(1))
-    spark.sql("DROP TABLE IF EXISTS transcripts_wide")
+    _drop_table(spark, "transcripts_wide")
     widened.write.saveAsTable("transcripts_wide")
     df = read_transcripts(spark, "transcripts_wide")
     assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
