@@ -89,19 +89,26 @@ def doc_shingles(
 
 
 
-def _jaccard_from_intersections(inter, sh, threshold: float):
+def _jaccard_from_intersections(inter, sh, threshold: float, sh_b=None):
     """(a_id, b_id, jaccard) from an intersection-count frame + the
-    shingle frame: |A∩B| / (|A| + |B| - |A∩B|), rounded and gated.
-    Shared by the exact self-join path and the LSH-verified path so the
+    shingle frame(s): |A∩B| / (|A| + |B| - |A∩B|), rounded and gated.
+    Shared by the exact self-join path, the LSH-verified path, and the
+    cross-corpus decontamination path (``sh_b`` = the b-side shingle
+    frame when a_id and b_id come from different tables) so the
     denominator arithmetic can never drift between them."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes_b = (
+        sizes
+        if sh_b is None
+        else sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
     return (
         inter.join(
             sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_shingles", "a_n"),
             "a_id",
         )
         .join(
-            sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_shingles", "b_n"),
+            sizes_b.withColumnRenamed("id", "b_id").withColumnRenamed("n_shingles", "b_n"),
             "b_id",
         )
         .withColumn(
@@ -178,6 +185,25 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_keyed(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(id, band_idx, band_key) — one row per LSH band per document;
+    band_key = md5 over the band's signature slots.  Shared by the
+    self-join candidate path and the cross-corpus path so the band
+    family can never drift between them."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(bands).alias("band_idx", "band_key"))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -207,20 +233,7 @@ def lsh_candidate_pairs(
     join.
     """
     sig = minhash_signatures(docs, num_hashes, text_col, id_col, ngram, _shingles)
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    keyed = sig.select(
-        "id", F.posexplode(bands).alias("band_idx", "band_key")
-    )
+    keyed = _band_keyed(sig, num_hashes, band_size)
     keyed = cachepool.track(keyed)  # both sides of the candidate self-join read this
     if max_bucket_size is not None:
         keyed = _drop_hot_keys(keyed, ["band_idx", "band_key"], max_bucket_size)
@@ -384,3 +397,104 @@ def simhash64(
             ).alias("simhash"),
         )
     )
+
+
+def cross_lsh_candidates(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _corpus_shingles: DataFrame | None = None,
+    _eval_shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(corpus_id, eval_id) candidate pairs ACROSS two corpora: corpus
+    documents sharing any LSH band key with an eval document.
+
+    The cross-table sibling of :func:`lsh_candidate_pairs`, same band
+    family (``_band_keyed``).  Work scales with band-key collisions
+    between the tables — never |corpus| × |evalset|; the eval side is
+    typically tiny (a benchmark), so its keyed frame broadcasts and
+    the corpus side never shuffles at all.  ``max_bucket_size`` caps
+    degenerate corpus-side buckets exactly as in the self-join path.
+    """
+    sh_c = (
+        _corpus_shingles
+        if _corpus_shingles is not None
+        else doc_shingles(corpus, text_col, id_col, ngram)
+    )
+    sh_e = (
+        _eval_shingles
+        if _eval_shingles is not None
+        else doc_shingles(evalset, text_col, id_col, ngram)
+    )
+    keyed_c = _band_keyed(minhash_signatures(None, num_hashes, _shingles=sh_c), num_hashes, band_size)
+    keyed_e = _band_keyed(minhash_signatures(None, num_hashes, _shingles=sh_e), num_hashes, band_size)
+    if max_bucket_size is not None:
+        keyed_c = _drop_hot_keys(keyed_c, ["band_idx", "band_key"], max_bucket_size)
+    c, e = keyed_c.alias("c"), keyed_e.alias("e")
+    # eval side is the small side by construction: broadcast it so the
+    # corpus-side keyed frame joins map-side with zero shuffle
+    return (
+        c.join(
+            F.broadcast(e),
+            (F.col("c.band_idx") == F.col("e.band_idx"))
+            & (F.col("c.band_key") == F.col("e.band_key")),
+        )
+        .select(F.col("c.id").alias("a_id"), F.col("e.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination: find (and enable dropping of) corpus
+    documents that near-duplicate an eval/benchmark document — the
+    guard against training on the test set.
+
+    Returns ``(report, cleaned)``:
+
+    - ``report`` — (corpus_id, eval_id, jaccard) for every corpus doc
+      whose exact n-gram Jaccard against an eval doc clears
+      ``threshold`` (LSH candidates → exact verify, same plan shape as
+      :func:`lsh_verified_pairs` but cross-table);
+    - ``cleaned`` — the corpus with those documents anti-joined out.
+
+    Scale shape: the eval set is small (benchmarks are), so its
+    shingle/signature frames broadcast; the corpus side is touched by
+    exactly one scan + one shingle explode, and the quadratic step is
+    bounded by cross-table band collisions.
+    """
+    sh_c = cachepool.track(doc_shingles(corpus, text_col, id_col, ngram))
+    sh_e = cachepool.track(doc_shingles(evalset, text_col, id_col, ngram))
+    cand = cross_lsh_candidates(
+        corpus, evalset, num_hashes, band_size, ngram, text_col, id_col,
+        _corpus_shingles=sh_c, _eval_shingles=sh_e,
+    )
+    a = sh_c.select(F.col("id").alias("a_id"), "shingle")
+    b = sh_e.select(F.col("id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(a, "a_id")
+        .join(F.broadcast(b), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    report = _jaccard_from_intersections(inter, sh_c, threshold, sh_b=sh_e).select(
+        F.col("a_id").alias("corpus_id"),
+        F.col("b_id").alias("eval_id"),
+        "jaccard",
+    )
+    contaminated = report.select(F.col("corpus_id").alias(id_col)).distinct()
+    cleaned = corpus.join(contaminated, id_col, "left_anti")
+    return report, cleaned

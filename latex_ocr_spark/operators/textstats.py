@@ -208,3 +208,41 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ).alias("punct_ratio"),
         F.md5(normed).alias("fingerprint"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    val_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    seed: str = "split-seed-1",
+) -> DataFrame:
+    """Train/val split that near-duplicates can never straddle.
+
+    A plain per-document hash split leaks: when doc A (train) and its
+    near-copy B (val) land on opposite sides, the eval measures
+    memorization.  Here the split unit is the duplicate CLUSTER: every
+    document hashes by its cluster's canonical id (its own id if
+    unclustered), so a whole near-dup group moves to one side together.
+
+    ``clusters`` is (id, cluster_id) from ``dedup.duplicate_clusters``
+    over whichever pair generator fits the corpus; it only contains
+    documents that HAVE a near-dup, so it is small relative to the
+    corpus and broadcasts — the corpus side takes a map-side join plus
+    the same md5-threshold expression as :func:`deterministic_split`.
+    """
+    canon = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(canon, F.lit(seed))), 1, 8), 16, 10)
+        .cast("double")
+        / float(1 << 32)
+    )
+    return (
+        docs.join(
+            F.broadcast(clusters.withColumnRenamed("id", id_col)), id_col, "left"
+        )
+        .withColumn(
+            "split", F.when(u < val_fraction, F.lit("val")).otherwise(F.lit("train"))
+        )
+        .drop("cluster_id")
+    )

@@ -704,64 +704,83 @@ def w4_seeded_shuffle(spark, sf):
 
 
 @register(
-    "a8_supplier_balance_by_region",
+    "a89_dim_rollups",
     oracle="""
-    SELECT r.r_name,
-           count(*) AS n_suppliers,
-           CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+    SELECT 'supplier_balance' AS rollup, r.r_name AS key1,
+           CAST(NULL AS VARCHAR) AS key2,
+           count(*) AS n,
+           CAST(round(sum(CAST(s.s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS metric
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE s.s_acctbal > 0
     GROUP BY r.r_name
-    """,
-)
-def a8_supplier_balance_by_region(spark, sf):
-    """Three-way broadcast star join over the remaining dim tables."""
-    s = load_table(spark, "supplier", sf)
-    n = load_table(spark, "nation", sf)
-    r = load_table(spark, "region", sf)
-    return (
-        s.filter(F.col("s_acctbal") > 0)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total_bal"),
-        )
-    )
-
-
-@register(
-    "a9_part_size_histogram",
-    oracle="""
-    SELECT p_brand, CAST(p_size // 10 AS INT) AS size_bucket, count(*) AS n_parts,
-           CAST(round(avg(CAST(p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS avg_price
+    UNION ALL
+    SELECT 'part_size' AS rollup, p_brand AS key1,
+           CAST(CAST(p_size // 10 AS INT) AS VARCHAR) AS key2,
+           count(*) AS n,
+           CAST(round(avg(CAST(p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS metric
     FROM part
     WHERE p_type LIKE '%A%'
     GROUP BY p_brand, CAST(p_size // 10 AS INT)
     """,
 )
-def a9_part_size_histogram(spark, sf):
-    """Filter + two-key hash aggregation with a LIKE predicate.
-    This testdata's p_type values are uppercase (LARGE, ECONOMY, …) —
-    r1's '%a%' matched zero rows and passed vacuously."""
+def a89_dim_rollups(spark, sf):
+    """Two relational rollups in one driver slot (r2's a8 + a9; merged
+    in round 3 to free a slot for ``dedup_decontaminate`` while staying
+    inside the driver's 50-query window):
+
+    - ``supplier_balance`` — three-way broadcast star join over the
+      remaining dim tables (supplier→nation→region) + hash agg;
+    - ``part_size``        — filter + two-key hash aggregation with a
+      LIKE predicate (this testdata's p_type values are uppercase —
+      r1's '%a%' matched zero rows and passed vacuously).
+
+    Each side keeps its own pushed filter / broadcast / partial-agg
+    plan; the union adds no shuffle."""
+    s = load_table(spark, "supplier", sf)
+    n = load_table(spark, "nation", sf)
+    r = load_table(spark, "region", sf)
+    a8 = (
+        s.filter(F.col("s_acctbal") > 0)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("metric"),
+        )
+        .select(
+            F.lit("supplier_balance").alias("rollup"),
+            F.col("r_name").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "n",
+            "metric",
+        )
+    )
     p = load_table(spark, "part", sf)
-    return (
+    a9 = (
         p.filter(F.col("p_type").like("%A%"))
         .groupBy(
             "p_brand", F.floor(F.col("p_size") / 10).cast("int").alias("size_bucket")
         )
         .agg(
-            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.lit(1)).alias("n"),
             F.round(F.avg(F.col("p_retailprice").cast("decimal(18,4)")), 4)
             .cast("double")
-            .alias("avg_price"),
+            .alias("metric"),
+        )
+        .select(
+            F.lit("part_size").alias("rollup"),
+            F.col("p_brand").alias("key1"),
+            F.col("size_bucket").cast("string").alias("key2"),
+            "n",
+            "metric",
         )
     )
+    return a8.unionByName(a9)
 
 
 # ---------------------------------------------------------------------------
@@ -983,6 +1002,97 @@ def dedup_lsh_jaccard(spark, sf):
     unigram shingles collide on shared vocabulary alone), and
     ``lsh_candidate_pairs`` keeps its own pytest (tests/test_dedup.py)."""
     return D.lsh_verified_pairs(_docs(spark, sf), threshold=0.5, ngram=3)
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=r"""
+    WITH ev AS (
+      SELECT -(doc_id + 1) AS id, text FROM documents WHERE doc_id < 3),
+    tkc AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    tke AS (
+      SELECT id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM ev),
+    shc AS (
+      SELECT DISTINCT id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM tkc),
+    she AS (
+      SELECT DISTINCT id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM tke),
+    sigc AS (
+      SELECT id,
+             min(md5(shingle || '#0')) AS s0, min(md5(shingle || '#1')) AS s1,
+             min(md5(shingle || '#2')) AS s2, min(md5(shingle || '#3')) AS s3,
+             min(md5(shingle || '#4')) AS s4, min(md5(shingle || '#5')) AS s5,
+             min(md5(shingle || '#6')) AS s6, min(md5(shingle || '#7')) AS s7
+      FROM shc GROUP BY id),
+    sige AS (
+      SELECT id,
+             min(md5(shingle || '#0')) AS s0, min(md5(shingle || '#1')) AS s1,
+             min(md5(shingle || '#2')) AS s2, min(md5(shingle || '#3')) AS s3,
+             min(md5(shingle || '#4')) AS s4, min(md5(shingle || '#5')) AS s5,
+             min(md5(shingle || '#6')) AS s6, min(md5(shingle || '#7')) AS s7
+      FROM she GROUP BY id),
+    kc AS (
+      SELECT id, 0 AS band_idx, md5(s0 || '|' || s1) AS band_key FROM sigc
+      UNION ALL SELECT id, 1, md5(s2 || '|' || s3) FROM sigc
+      UNION ALL SELECT id, 2, md5(s4 || '|' || s5) FROM sigc
+      UNION ALL SELECT id, 3, md5(s6 || '|' || s7) FROM sigc),
+    ke AS (
+      SELECT id, 0 AS band_idx, md5(s0 || '|' || s1) AS band_key FROM sige
+      UNION ALL SELECT id, 1, md5(s2 || '|' || s3) FROM sige
+      UNION ALL SELECT id, 2, md5(s4 || '|' || s5) FROM sige
+      UNION ALL SELECT id, 3, md5(s6 || '|' || s7) FROM sige),
+    cand AS (
+      SELECT DISTINCT c.id AS a_id, e.id AS b_id
+      FROM kc c JOIN ke e
+        ON c.band_idx = e.band_idx AND c.band_key = e.band_key),
+    szc AS (SELECT id, count(*) AS n FROM shc GROUP BY id),
+    sze AS (SELECT id, count(*) AS n FROM she GROUP BY id),
+    inter AS (
+      SELECT cand.a_id, cand.b_id, count(*) AS n_common
+      FROM cand
+      JOIN shc a ON a.id = cand.a_id
+      JOIN she b ON b.id = cand.b_id AND b.shingle = a.shingle
+      GROUP BY cand.a_id, cand.b_id)
+    SELECT i.a_id AS corpus_id, i.b_id AS eval_id,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter i
+    JOIN szc sa ON sa.id = i.a_id
+    JOIN sze sb ON sb.id = i.b_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+    """,
+)
+def dedup_decontaminate(spark, sf):
+    """Benchmark decontamination (new in r3): corpus documents that
+    near-duplicate an eval/benchmark document — the guard against
+    training on the test set.  Cross-corpus LSH candidates (corpus ×
+    eval band-key equi-join, eval side broadcast) → exact Jaccard
+    verify, same plan family as ``dedup_lsh_jaccard`` but across two
+    tables; ``operators/dedup.decontaminate`` also returns the cleaned
+    corpus (anti-join), exercised in tests/test_dedup.py.
+
+    The eval set here is three corpus documents re-keyed to negative
+    ids (can never collide with organic ids), so ≥3 jaccard-1.0 rows
+    exist at every scale — the oracle checks the full cross-table
+    mechanism, never passes vacuously."""
+    docs = _docs(spark, sf)
+    evalset = (
+        docs.filter(F.col("doc_id") < 3)
+        .select((-(F.col("doc_id") + 1)).alias("doc_id"), "text")
+    )
+    report, _cleaned = D.decontaminate(
+        docs.select("doc_id", "text"), evalset, threshold=0.5, ngram=3
+    )
+    return report
 
 
 @register(

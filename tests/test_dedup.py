@@ -143,3 +143,56 @@ def test_duplicate_clusters_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, max_iter=3)
+
+
+def test_decontaminate_drops_contaminated_and_keeps_rest(spark):
+    """Cross-corpus decontamination: corpus docs near-duplicating an
+    eval doc land in the report and are anti-joined out of the cleaned
+    corpus; unrelated docs survive untouched."""
+    from latex_ocr_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of eval 1
+            (3, "one two three four five six seven eight"),
+            (4, "unrelated tokens qq ww ee rr tt yy uu ii"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    report, cleaned = decontaminate(corpus, evalset, threshold=0.5, ngram=3)
+    rep = {(r.corpus_id, r.eval_id): r.jaccard for r in report.collect()}
+    assert rep[(1, -1)] == 1.0          # exact copy
+    assert (2, -1) in rep               # near-dup caught
+    kept = sorted(r.doc_id for r in cleaned.collect())
+    assert kept == [3, 4]
+    from latex_ocr_spark import cachepool
+
+    cachepool.release()
+
+
+def test_cross_candidates_broadcast_eval_side(spark):
+    """Scale shape: the eval side must broadcast — the corpus-side
+    keyed frame joins map-side, no shuffle on the corpus for the
+    candidate step."""
+    from latex_ocr_spark.operators.dedup import cross_lsh_candidates
+
+    corpus = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('tok', id % 37, ' tok', (id+1) % 37, ' tok', (id+2) % 37, "
+        "' tok', (id+3) % 37) AS text",
+    )
+    evalset = spark.range(2).selectExpr(
+        "-(id + 1) AS doc_id",
+        "concat('tok', id % 37, ' tok', (id+1) % 37, ' tok', (id+2) % 37, "
+        "' tok', (id+3) % 37) AS text",
+    )
+    cand = cross_lsh_candidates(corpus, evalset, ngram=3)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {(r.a_id, r.b_id) for r in cand.collect()}
+    assert (0, -1) in got and (1, -2) in got  # the planted copies collide

@@ -54,3 +54,49 @@ def test_text_profile_is_single_scan_no_shuffle(spark, sf_small):
     )
     assert "Exchange" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_cluster_safe_split_never_straddles_near_dups(spark):
+    """The leakage guard: every member of a duplicate cluster gets the
+    SAME split; unclustered docs fall back to their own id (identical
+    to deterministic_split for them)."""
+    from pyspark.sql import functions as F
+
+    from latex_ocr_spark.operators.dedup import duplicate_clusters, jaccard_pairs
+    from latex_ocr_spark.operators.textstats import (
+        cluster_safe_split,
+        deterministic_split,
+    )
+
+    # 60 planted near-dup pairs + 80 singletons
+    base = spark.range(60).selectExpr(
+        "id AS doc_id",
+        "concat('pz', id, ' qz', id, ' rz', id, ' sz', id) AS text",
+    )
+    copies = base.selectExpr("doc_id + 1000 AS doc_id", "text")
+    singles = spark.range(80).selectExpr(
+        "id + 5000 AS doc_id", "concat('solo', id, ' s', id*7, ' t', id*13) AS text"
+    )
+    docs = base.unionByName(copies).unionByName(singles)
+
+    pairs = jaccard_pairs(docs, threshold=0.5, ngram=1)
+    clusters = duplicate_clusters(pairs)
+    out = cluster_safe_split(docs, clusters, val_fraction=0.3).collect()
+    split = {r.doc_id: r.split for r in out}
+    assert len(split) == 200
+    for i in range(60):
+        assert split[i] == split[i + 1000], f"pair {i} straddles the split"
+    # both sides populated (0.3 over 140 cluster-units)
+    assert {"train", "val"} == set(split.values())
+
+    # unclustered docs match the plain per-doc split exactly
+    plain = {
+        r.doc_id: r.split
+        for r in deterministic_split(singles, val_fraction=0.3).collect()
+    }
+    for d, s in plain.items():
+        assert split[d] == s
+
+    from latex_ocr_spark import cachepool
+
+    cachepool.release()
