@@ -35,7 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="transcripts table path (parquet)")
+    ap.add_argument(
+        "--input",
+        help="transcripts source: a parquet path OR a catalog table "
+        "identifier such as lake.db.transcripts (the Iceberg form — "
+        "ship sources.tables.ICEBERG_SUBMIT_CONF via --conf)",
+    )
     ap.add_argument("--synth", type=int, help="synthesize N conversations instead")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", required=True)
@@ -44,13 +49,15 @@ def main() -> int:
 
     from latex_ocr_spark.operators.lineage import run_resumable_extract
     from latex_ocr_spark.session import get_spark
-    from latex_ocr_spark.sources.tables import synth_transcripts
+    from latex_ocr_spark.sources.tables import read_transcripts, synth_transcripts
 
     spark = get_spark("extract_job")
     if args.synth:
         transcripts = synth_transcripts(spark, args.synth)
     elif args.input:
-        transcripts = spark.read.parquet(args.input)
+        # path → parquet; identifier → spark.read.table (Iceberg et al.);
+        # schema validated at plan time either way
+        transcripts = read_transcripts(spark, args.input)
     else:
         ap.error("one of --input/--synth is required")
 
