@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_lsh_jaccard",
     "dedup_simhash",
+    "dedup_decontaminate",
     "ann_cosine_topk",
     "text_profile",
     "x1_math_spans",
