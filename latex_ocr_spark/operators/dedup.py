@@ -404,7 +404,7 @@ def cross_lsh_candidates(
     evalset: DataFrame,
     num_hashes: int = 8,
     band_size: int = 2,
-    ngram: int = 3,
+    ngram: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
     _corpus_shingles: DataFrame | None = None,
@@ -414,12 +414,16 @@ def cross_lsh_candidates(
     """(corpus_id, eval_id) candidate pairs ACROSS two corpora: corpus
     documents sharing any LSH band key with an eval document.
 
-    The cross-table sibling of :func:`lsh_candidate_pairs`, same band
-    family (``_band_keyed``).  Work scales with band-key collisions
-    between the tables — never |corpus| × |evalset|; the eval side is
-    typically tiny (a benchmark), so its keyed frame broadcasts and
-    the corpus side never shuffles at all.  ``max_bucket_size`` caps
-    degenerate corpus-side buckets exactly as in the self-join path.
+    The cross-table sibling of :func:`lsh_candidate_pairs` — same band
+    family (``_band_keyed``) and the same ``ngram`` default, so a
+    pipeline that dedups in-corpus and then decontaminates applies ONE
+    similarity measure unless it opts out.  Work scales with band-key
+    collisions between the tables — never |corpus| × |evalset|.  The
+    eval side is typically tiny (a benchmark), so its keyed frame
+    broadcasts and the candidate JOIN adds no corpus-side shuffle (the
+    signature aggregation over the corpus shingles still shuffles once,
+    as in every MinHash path).  ``max_bucket_size`` caps degenerate
+    corpus-side buckets exactly as in the self-join path.
     """
     sh_c = (
         _corpus_shingles
@@ -455,7 +459,7 @@ def decontaminate(
     threshold: float = 0.5,
     num_hashes: int = 8,
     band_size: int = 2,
-    ngram: int = 3,
+    ngram: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
@@ -490,11 +494,16 @@ def decontaminate(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    report = _jaccard_from_intersections(inter, sh_c, threshold, sh_b=sh_e).select(
-        F.col("a_id").alias("corpus_id"),
-        F.col("b_id").alias("eval_id"),
-        "jaccard",
-    )
+    report = cachepool.track(
+        _jaccard_from_intersections(inter, sh_c, threshold, sh_b=sh_e).select(
+            F.col("a_id").alias("corpus_id"),
+            F.col("b_id").alias("eval_id"),
+            "jaccard",
+        )
+    )  # consuming report AND cleaned must not re-run the LSH+verify chain
     contaminated = report.select(F.col("corpus_id").alias(id_col)).distinct()
-    cleaned = corpus.join(contaminated, id_col, "left_anti")
+    # contaminated ids are bounded by the (small) eval set's match
+    # fan-out — broadcast, so cleaning the corpus is a map-side
+    # anti-join with zero corpus shuffle
+    cleaned = corpus.join(F.broadcast(contaminated), id_col, "left_anti")
     return report, cleaned

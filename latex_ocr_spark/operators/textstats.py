@@ -141,6 +141,18 @@ def tf_idf(
     )
 
 
+def _split_unit(key, seed: str):
+    """[0, 1) unit hash of (key ‖ seed): first 8 hex digits of md5 over
+    2^32 — THE split assignment expression, shared by the per-document
+    and per-cluster splits so the two can never drift (the cluster-safe
+    split must equal the plain split for unclustered documents)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(key, F.lit(seed))), 1, 8), 16, 10)
+        .cast("double")
+        / float(1 << 32)
+    )
+
+
 def deterministic_split(
     docs: DataFrame,
     val_fraction: float = 0.1,
@@ -154,14 +166,7 @@ def deterministic_split(
     no RNG, no shuffle, identical on every engine/run/retry, and any
     row subset gets the same assignment as the full corpus (the
     property per-epoch RNG sampling lacks).  New seed = new split."""
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        / float(1 << 32)
-    )
+    u = _split_unit(F.col(id_col).cast("string"), seed)
     return docs.withColumn(
         "split", F.when(u < val_fraction, F.lit("val")).otherwise(F.lit("train"))
     )
@@ -231,18 +236,18 @@ def cluster_safe_split(
     corpus and broadcasts — the corpus side takes a map-side join plus
     the same md5-threshold expression as :func:`deterministic_split`.
     """
-    canon = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
-    u = (
-        F.conv(F.substring(F.md5(F.concat(canon, F.lit(seed))), 1, 8), 16, 10)
-        .cast("double")
-        / float(1 << 32)
+    # internal column name so a docs frame that already carries a
+    # cluster_id column can't make the reference ambiguous
+    canon_col = "__split_cluster_id"
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias(canon_col)
     )
+    canon = F.coalesce(F.col(canon_col), F.col(id_col)).cast("string")
+    u = _split_unit(canon, seed)
     return (
-        docs.join(
-            F.broadcast(clusters.withColumnRenamed("id", id_col)), id_col, "left"
-        )
+        docs.join(F.broadcast(cl), id_col, "left")
         .withColumn(
             "split", F.when(u < val_fraction, F.lit("val")).otherwise(F.lit("train"))
         )
-        .drop("cluster_id")
+        .drop(canon_col)
     )

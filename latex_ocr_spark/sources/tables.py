@@ -89,7 +89,12 @@ def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     10¹²-turn job should fail at plan time, not after an hour of
     extraction.
     """
-    looks_like_path = os.sep in source or source.startswith(("file:", "s3:", "hdfs:"))
+    looks_like_path = (
+        os.sep in source
+        or source.startswith(("file:", "s3:", "hdfs:"))
+        or source.endswith(".parquet")   # bare relative filename
+        or os.path.exists(source)        # local relative dir (scheme paths matched above)
+    )
     df = spark.read.parquet(source) if looks_like_path else spark.read.table(source)
     want = {f.name: f.dataType for f in TRANSCRIPTS_SCHEMA.fields}
     have = {f.name: f.dataType for f in df.schema.fields}
