@@ -196,3 +196,29 @@ def test_cross_candidates_broadcast_eval_side(spark):
     assert "BroadcastHashJoin" in plan
     got = {(r.a_id, r.b_id) for r in cand.collect()}
     assert (0, -1) in got and (1, -2) in got  # the planted copies collide
+
+
+def test_decontaminate_is_idempotent(spark):
+    """Decontaminating an already-clean corpus finds nothing — the
+    fixpoint property a pipeline retry relies on."""
+    from latex_ocr_spark import cachepool
+    from latex_ocr_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+            (3, "unrelated tokens qq ww ee rr tt yy uu ii"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    report1, cleaned1 = decontaminate(corpus, evalset, threshold=0.5, ngram=3)
+    assert report1.count() == 1 and cleaned1.count() == 2
+    report2, cleaned2 = decontaminate(cleaned1, evalset, threshold=0.5, ngram=3)
+    assert report2.count() == 0
+    assert cleaned2.count() == 2
+    cachepool.release()

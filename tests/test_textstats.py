@@ -100,3 +100,31 @@ def test_cluster_safe_split_never_straddles_near_dups(spark):
     from latex_ocr_spark import cachepool
 
     cachepool.release()
+
+
+def test_cluster_safe_split_is_subset_stable(spark):
+    """The property per-epoch RNG splits lack, preserved by the
+    cluster-unit hash: any subset of the corpus gets the same
+    assignments as the full corpus (retries / incremental batches)."""
+    from latex_ocr_spark import cachepool
+    from latex_ocr_spark.operators.textstats import cluster_safe_split
+
+    docs = spark.range(300).selectExpr("id AS doc_id", "concat('d', id) AS text")
+    clusters = spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(100)], "id long, cluster_id long"
+    )  # docs 0..99 pair up (0,1)(2,3)…; 100.. unclustered
+    full = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(docs, clusters, val_fraction=0.25).collect()
+    }
+    subset = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(
+            docs.filter("doc_id % 3 = 0"), clusters, val_fraction=0.25
+        ).collect()
+    }
+    assert subset and all(full[d] == s for d, s in subset.items())
+    # paired docs agree in the full corpus
+    for i in range(0, 100, 2):
+        assert full[i] == full[i + 1]
+    cachepool.release()
