@@ -64,13 +64,35 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _with_min_parallelism(df: DataFrame) -> DataFrame:
+    """Amplification guard for explode-heavy stages: when the input has
+    fewer partitions than the session has slots (a single small parquet
+    split — common at test scale, impossible at corpus scale where the
+    scan exposes thousands of splits), fan the rows out FIRST so the
+    explode runs parallel instead of serializing on one core.  Cost:
+    one shuffle of the raw (pre-amplification) rows, orders of
+    magnitude below the serialized-explode alternative; a strict no-op
+    (zero plan change) whenever the input is already parallel."""
+    if df.isStreaming:  # .rdd is undefined on streaming frames
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def doc_shingles(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs; shingle = n consecutive tokens."""
+    """Distinct (id, shingle) pairs; shingle = n consecutive tokens.
+
+    The shingle explode multiplies rows ~tokens-per-doc× — the
+    amplification guard ensures it never runs serial on an
+    under-partitioned input."""
+    docs = _with_min_parallelism(docs)
     toks = _tokens(text_col)
     if ngram == 1:
         sh = toks

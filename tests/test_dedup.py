@@ -222,3 +222,19 @@ def test_decontaminate_is_idempotent(spark):
     assert report2.count() == 0
     assert cleaned2.count() == 2
     cachepool.release()
+
+
+def test_shingle_amplification_guard(spark):
+    """The explode-heavy shingle stage must fan out an
+    under-partitioned input (single parquet split → serial explode)
+    and leave an already-parallel input's plan untouched."""
+    from latex_ocr_spark.operators.dedup import _with_min_parallelism
+
+    one = spark.range(100).coalesce(1).selectExpr("id AS doc_id", "'a b c' AS text")
+    fanned = _with_min_parallelism(one)
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism
+    ).selectExpr("id AS doc_id", "'a b c' AS text")
+    assert _with_min_parallelism(wide) is wide  # strict no-op
