@@ -1,0 +1,73 @@
+"""Streaming benchmark decontamination: the ingestion-time guard.
+
+A curation pipeline that keeps acquiring documents needs contamination
+checked as data LANDS, not in a later batch sweep.  Contamination is a
+property of one document against a *static* eval/benchmark set —
+there is no cross-batch state — so the streaming form is exactly the
+batch operator applied per micro-batch inside ``foreachBatch``
+(single code path, same oracle-checked semantics as the
+``dedup_decontaminate`` registry query):
+
+    readStream(documents dir)
+      → foreachBatch: dedup.decontaminate(batch, evalset)
+          → append contamination report
+          → append cleaned documents
+
+The eval set's shingle/signature frames are small (benchmarks are) and
+broadcast inside every micro-batch join, so each batch costs one scan
+of its own files plus the broadcast probes.  ``availableNow`` +
+checkpoint give exactly-once file progress, mirroring
+``streaming/stream.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def start_decontamination_stream(
+    spark: SparkSession,
+    input_dir: str,
+    evalset: DataFrame,
+    report_dir: str,
+    clean_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    available_now: bool = True,
+):
+    """Continuously decontaminate documents as files land.
+
+    ``evalset`` is a static (doc_id, text) frame; each micro-batch is
+    checked independently against it and split into a contamination
+    report (corpus_id, eval_id, jaccard) and a cleaned append stream.
+    """
+    from latex_ocr_spark import cachepool
+    from latex_ocr_spark.operators.dedup import decontaminate
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet").load(input_dir)
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        report, cleaned = decontaminate(
+            batch_df, evalset, threshold=threshold, ngram=ngram
+        )
+        report.write.mode("append").parquet(report_dir)
+        cleaned.write.mode("append").parquet(clean_dir)
+        cachepool.release()  # batch-scoped frames die with the batch
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
