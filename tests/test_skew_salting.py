@@ -177,3 +177,33 @@ def test_salted_left_join_keeps_unmatched_probe_rows(spark):
     out = salted_equi_join(probe, build, on="k", salt=4, how="left").collect()
     assert len(out) == 10
     assert all((r.k == 0) == (r.name == "zero") for r in out)
+
+
+def test_salted_join_equals_plain_join_property(spark):
+    """Property: over randomized skew shapes, salted inner/left joins
+    are multiset-equal to the plain join (salt affects distribution
+    only, never the result)."""
+    import random
+
+    rng = random.Random(7)
+    from latex_ocr_spark.operators.joins import salted_equi_join
+
+    for trial in range(3):
+        n_keys = rng.randint(1, 6)
+        rows = [
+            (rng.randrange(n_keys + 2), rng.randrange(1000))  # some keys miss the dim
+            for _ in range(rng.randint(50, 300))
+        ]
+        probe = spark.createDataFrame(rows, "k long, v long")
+        dim = spark.createDataFrame(
+            [(k, f"n{k}") for k in range(n_keys)], "k long, name string"
+        )
+        for how in ("inner", "left"):
+            salted = salted_equi_join(probe, dim, on="k", salt=rng.choice([2, 8, 32]), how=how)
+            plain = probe.join(dim, "k", how)
+            # sorted-tuple multiset comparison (a join on the name
+            # column would be null-UNsafe and miss the left join's
+            # legitimate NULL-name groups)
+            s = sorted(map(tuple, salted.collect()))
+            p = sorted(map(tuple, plain.collect()))
+            assert s == p, (trial, how)
