@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Production entry point: full corpus-curation funnel.
+
+    spark-submit --py-files latex_ocr_spark.zip \
+        jobs/curate_job.py \
+        --input  s3://bucket/documents/        \
+        --evalset s3://bucket/benchmarks/      \
+        --output s3://bucket/curated/
+
+Runs quality gates → exact dedup → near-dup clustering →
+decontamination → cluster-safe split (plans/curate.py) and writes:
+
+    <output>/documents/   surviving docs + split column
+    <output>/report/      contamination report (if --evalset)
+    <output>/clusters/    duplicate clusters
+    <output>/funnel.json  docs in/out per stage (one JSON line)
+
+``--synth N`` generates N synthetic documents for a no-data smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="documents source: parquet path or catalog table")
+    ap.add_argument("--synth", type=int, help="synthesize N documents instead")
+    ap.add_argument("--evalset", help="benchmark/eval documents (same shapes)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--max-punct-ratio", type=float, default=0.3)
+    ap.add_argument("--dedup-threshold", type=float, default=0.5)
+    ap.add_argument("--ngram", type=int, default=1)
+    ap.add_argument("--val-fraction", type=float, default=0.1)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from latex_ocr_spark.plans.curate import curate_corpus
+    from latex_ocr_spark.session import get_spark
+
+    spark = get_spark("curate_job")
+
+    def load_docs(source: str):
+        looks_like_path = (
+            os.sep in source
+            or source.startswith(("file:", "s3:", "hdfs:"))
+            or source.endswith(".parquet")
+            or os.path.exists(source)
+        )
+        df = spark.read.parquet(source) if looks_like_path else spark.read.table(source)
+        return df.select("doc_id", "text")
+
+    if args.synth:
+        docs = spark.range(args.synth).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("sa"), F.col("id").cast("string"),
+                F.lit(" sb"), (F.col("id") * 3).cast("string"),
+                F.lit(" sc"), (F.col("id") * 7).cast("string"),
+                F.lit(" sd"), (F.col("id") * 11).cast("string"),
+                F.lit(" se"), (F.col("id") * 13).cast("string"),
+            ).alias("text"),
+        )
+    elif args.input:
+        docs = load_docs(args.input)
+    else:
+        ap.error("one of --input/--synth is required")
+
+    evalset = load_docs(args.evalset) if args.evalset else None
+    res = curate_corpus(
+        docs, evalset,
+        min_tokens=args.min_tokens,
+        max_punct_ratio=args.max_punct_ratio,
+        dedup_threshold=args.dedup_threshold,
+        ngram=args.ngram,
+        val_fraction=args.val_fraction,
+    )
+    res.documents.write.mode("overwrite").parquet(f"{args.output}/documents")
+    if res.contamination_report is not None:
+        res.contamination_report.write.mode("overwrite").parquet(f"{args.output}/report")
+    res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    funnel = {s: {"in": i, "out": o} for s, i, o in res.funnel}
+    os.makedirs(args.output, exist_ok=True)
+    with open(f"{args.output}/funnel.json", "w") as f:
+        f.write(json.dumps(funnel) + "\n")
+    print(json.dumps(funnel))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

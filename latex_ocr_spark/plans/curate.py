@@ -1,0 +1,143 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+user actually runs, built from this repo's individually oracle-checked
+operators:
+
+    quality gates  (textstats.text_profile expressions)
+      → exact dedup          (dedup.exact_duplicates, keep canonical)
+      → near-dup clustering  (capped Jaccard pairs → duplicate_clusters,
+                              keep one representative per cluster)
+      → decontamination      (dedup.decontaminate vs an eval set)
+      → cluster-safe split   (textstats.cluster_safe_split — near-dups
+                              can't straddle train/val)
+
+Every stage is a DataFrame → DataFrame transform; intermediates that
+feed both the funnel counts and the next stage are cachepool-tracked
+so the whole run costs one pass per stage.  The funnel (docs in/out
+per stage) is the curation run's primary observability artifact — a
+stage that silently drops 90% of a corpus should be visible in one
+table, not discovered downstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from latex_ocr_spark import cachepool
+from latex_ocr_spark.operators import dedup as D
+from latex_ocr_spark.operators import textstats as TS
+
+
+@dataclass
+class CurationResult:
+    """Outputs of one curation run.
+
+    ``documents`` — surviving docs with a ``split`` column;
+    ``funnel``   — [(stage, docs_in, docs_out), …] in execution order;
+    ``contamination_report`` — (corpus_id, eval_id, jaccard), empty
+    frame when no eval set was given;
+    ``clusters`` — (id, cluster_id) duplicate clusters found.
+    """
+
+    documents: DataFrame
+    funnel: List[Tuple[str, int, int]]
+    contamination_report: Optional[DataFrame] = None
+    clusters: Optional[DataFrame] = None
+
+    def funnel_dict(self) -> Dict[str, Tuple[int, int]]:
+        return {s: (i, o) for s, i, o in self.funnel}
+
+
+def curate_corpus(
+    docs: DataFrame,
+    evalset: Optional[DataFrame] = None,
+    *,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    dedup_threshold: float = 0.5,
+    ngram: int = 1,
+    max_df: Optional[int] = 1000,
+    val_fraction: float = 0.1,
+    seed: str = "split-seed-1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> CurationResult:
+    """Run the full curation funnel; see module docstring.
+
+    Near-dup handling keeps each cluster's canonical (minimum-id)
+    member — the reference's memo/set-dedup policy generalized.  The
+    final split hashes by cluster canonical id even though only
+    canonicals survive, so re-adding a dropped near-dup later can
+    never land it on the other side of the split.
+    """
+    funnel: List[Tuple[str, int, int]] = []
+    cur = cachepool.track(docs.select(id_col, text_col))
+    n = cur.count()
+
+    # 1. quality gates — one codegen'd projection, one filter
+    prof = TS.text_profile(cur, text_col=text_col, id_col=id_col).select(
+        F.col("id").alias(id_col), "n_tokens", "punct_ratio"
+    )
+    kept_ids = prof.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("punct_ratio") <= max_punct_ratio)
+    ).select(id_col)
+    cur2 = cachepool.track(cur.join(kept_ids, id_col, "left_semi"))
+    n2 = cur2.count()
+    funnel.append(("quality_gates", n, n2))
+
+    # 2. exact dedup — keep the canonical (min id) of each text group
+    canonical = D.exact_duplicates(cur2, text_col=text_col, id_col=id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    cur3 = cachepool.track(cur2.join(canonical, id_col, "left_semi"))
+    n3 = cur3.count()
+    funnel.append(("exact_dedup", n2, n3))
+
+    # 3. near-dup clustering — keep one representative per cluster
+    pairs = D.jaccard_pairs(
+        cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
+        ngram=ngram, max_df=max_df,
+    )
+    if pairs.limit(1).count() == 0:
+        clusters = pairs.sparkSession.createDataFrame(
+            [], "id long, cluster_id long"
+        )
+        cur4 = cur3
+    else:
+        clusters = cachepool.track(D.duplicate_clusters(pairs))
+        non_canonical = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        cur4 = cachepool.track(
+            cur3.join(F.broadcast(non_canonical), id_col, "left_anti")
+        )
+    n4 = cur4.count()
+    funnel.append(("near_dup_clusters", n3, n4))
+
+    # 4. decontamination vs the eval set
+    report = None
+    cur5 = cur4
+    if evalset is not None:
+        report, cur5 = D.decontaminate(
+            cur4, evalset, threshold=dedup_threshold,
+            ngram=max(ngram, 1), text_col=text_col, id_col=id_col,
+        )
+        cur5 = cachepool.track(cur5)
+    n5 = cur5.count()
+    funnel.append(("decontaminate", n4, n5))
+
+    # 5. cluster-safe split (near-dups hash by their cluster canonical)
+    out = TS.cluster_safe_split(
+        cur5, clusters, val_fraction=val_fraction, id_col=id_col, seed=seed
+    )
+    funnel.append(("split", n5, n5))
+
+    return CurationResult(
+        documents=out,
+        funnel=funnel,
+        contamination_report=report,
+        clusters=clusters,
+    )

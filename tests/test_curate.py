@@ -1,0 +1,106 @@
+"""The composed curation funnel: every stage exercised by a planted
+fixture, funnel counts exact, end state clean (no exact dups, no
+near-dup pairs split-straddling, no contamination)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from pyspark.sql import functions as F
+
+from latex_ocr_spark import cachepool
+from latex_ocr_spark.plans.curate import curate_corpus
+
+
+def _fixture(spark):
+    rows = []
+    # 20 healthy unique docs
+    for i in range(20):
+        rows.append((i, f"ua{i} ub{i*3} uc{i*7} ud{i*11} ue{i*13} uf{i*17}"))
+    # 3 too-short docs (quality gate)
+    for i in range(100, 103):
+        rows.append((i, f"short{i} doc"))
+    # 1 punctuation-soup doc (quality gate)
+    rows.append((110, "a. b, c; d: e! f? g.., ..,, ;;;; !!!! ???? ....."))
+    # 2 exact copies of doc 0 (exact dedup)
+    rows.append((200, rows[0][1]))
+    rows.append((201, rows[0][1]))
+    # 2 near-dups of doc 1 (one token changed → high unigram jaccard)
+    base1 = rows[1][1]
+    rows.append((300, base1.replace("ub3", "vb3")))
+    rows.append((301, base1.replace("uc7", "vc7")))
+    # 1 doc contaminated with eval text
+    rows.append((400, "alpha beta gamma delta epsilon zeta eta theta"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_funnel_end_to_end(spark):
+    docs = _fixture(spark)
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    res = curate_corpus(
+        docs, evalset, min_tokens=5, max_punct_ratio=0.3,
+        dedup_threshold=0.5, ngram=1, val_fraction=0.3,
+    )
+    f = res.funnel_dict()
+    assert f["quality_gates"] == (29, 25)        # 3 short + 1 punct dropped
+    assert f["exact_dedup"] == (25, 23)          # 200, 201 dropped
+    assert f["near_dup_clusters"] == (23, 21)    # 300, 301 dropped (cluster canon = 1)
+    assert f["decontaminate"] == (21, 20)        # 400 dropped
+    assert f["split"] == (20, 20)
+
+    out = res.documents.collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == list(range(20))
+    assert {"train", "val"}.issuperset({r.split for r in out})
+
+    rep = res.contamination_report.collect()
+    assert [(r.corpus_id, r.eval_id) for r in rep] == [(400, -1)]
+
+    cl = {r.id: r.cluster_id for r in res.clusters.collect()}
+    assert cl[300] == 1 and cl[301] == 1 and cl[1] == 1
+    cachepool.release()
+
+
+def test_curation_without_evalset_and_without_dups(spark):
+    docs = spark.range(30).selectExpr(
+        "id AS doc_id",
+        "concat('qa', id, ' qb', id*3, ' qc', id*7, ' qd', id*11, ' qe', id*13) AS text",
+    )
+    res = curate_corpus(docs, min_tokens=3, val_fraction=0.2)
+    f = res.funnel_dict()
+    assert f["quality_gates"] == (30, 30)
+    assert f["exact_dedup"] == (30, 30)
+    assert f["near_dup_clusters"] == (30, 30)
+    assert f["decontaminate"] == (30, 30)  # no eval set → pass-through
+    assert res.contamination_report is None
+    assert res.documents.count() == 30
+    cachepool.release()
+
+
+def test_curation_split_matches_cluster_safe_semantics(spark):
+    """Re-adding a dropped near-dup later must land it on the SAME
+    side as its cluster's surviving canonical — the split hashes by
+    cluster id even for survivors."""
+    from latex_ocr_spark.operators.textstats import cluster_safe_split
+
+    docs = _fixture(spark)
+    res = curate_corpus(docs, min_tokens=5, dedup_threshold=0.5, ngram=1,
+                        val_fraction=0.5)
+    split = {r.doc_id: r.split for r in res.documents.collect()}
+    # doc 1 survived; 300/301 were dropped as its near-dups.  Assign
+    # them through the same cluster table: must match doc 1's side.
+    readded = spark.createDataFrame([(300,), (301,)], "doc_id long").selectExpr(
+        "doc_id", "'x' AS text"
+    )
+    re_split = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(
+            readded, res.clusters, val_fraction=0.5
+        ).collect()
+    }
+    assert re_split[300] == split[1] and re_split[301] == split[1]
+    cachepool.release()
