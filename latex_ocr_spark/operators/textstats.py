@@ -251,3 +251,61 @@ def cluster_safe_split(
         )
         .drop(canon_col)
     )
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    fraction: float | None = None,
+    by: dict | None = None,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "sample-seed-1",
+) -> DataFrame:
+    """Deterministic (stratified) sampling by unit hash.
+
+    - ``fraction`` — one global keep-rate;
+    - ``by`` — per-stratum keep-rates, e.g. ``{"en": 0.5, "de": 1.0}``
+      over ``strata_col`` (strata absent from the dict are dropped —
+      an explicit sampling design, not a default).
+
+    Same md5-threshold mechanism as :func:`deterministic_split`
+    (shared ``_split_unit``): no RNG, no shuffle, retry- and
+    subset-stable, and a row's keep decision never changes when other
+    rows appear — the properties ``df.sample``'s per-partition RNG
+    cannot give.  A different ``seed`` draws a fresh sample.
+    """
+    if (fraction is None) == (by is None):
+        raise ValueError("exactly one of fraction/by is required")
+    u = _split_unit(F.col(id_col).cast("string"), seed)
+    if fraction is not None:
+        return docs.filter(u < fraction)
+    thresh = F.create_map(
+        *[F.lit(x) for k, v in by.items() for x in (k, float(v))]
+    )
+    return docs.filter(u < F.coalesce(thresh[F.col(strata_col)], F.lit(0.0)))
+
+
+#: redaction patterns: conservative, order matters (URLs before bare
+#: digit runs so a URL's digits don't get partially rewritten first)
+_REDACTIONS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{13,19}\b", "<LONGNUM>"),  # card/account-number-shaped runs
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+)
+
+
+def redact_text(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Append ``out_col`` with emails / URLs / long digit runs / phone-
+    shaped numbers replaced by typed placeholders — the conservative
+    pre-training scrub.  Pure chained ``regexp_replace`` expressions
+    (whole-stage codegen, no Python); swap or extend ``_REDACTIONS``
+    for a deployment's policy.  Detection recall is the policy module's
+    problem — this operator's contract is the Spark shape: one
+    projection, no shuffle."""
+    col = F.col(text_col)
+    for pat, repl in _REDACTIONS:
+        col = F.regexp_replace(col, pat, repl)
+    return docs.withColumn(out_col, col)

@@ -128,3 +128,56 @@ def test_cluster_safe_split_is_subset_stable(spark):
     for i in range(0, 100, 2):
         assert full[i] == full[i + 1]
     cachepool.release()
+
+
+def test_deterministic_sample_global_and_stratified(spark):
+    from latex_ocr_spark.operators.textstats import deterministic_sample
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang",
+    )
+    kept = deterministic_sample(docs, fraction=0.25)
+    n = kept.count()
+    assert 380 <= n <= 620  # ~500 expected, generous hash-variance band
+
+    # subset-stability: sampling a subset keeps exactly the intersection
+    sub = deterministic_sample(docs.filter("doc_id < 1000"), fraction=0.25)
+    full_ids = {r.doc_id for r in kept.collect()}
+    sub_ids = {r.doc_id for r in sub.collect()}
+    assert sub_ids == {i for i in full_ids if i < 1000}
+
+    # stratified: per-lang rates; absent stratum dropped entirely
+    st = deterministic_sample(docs, by={"en": 1.0, "de": 0.5})
+    got = {r.lang: 0 for r in st.collect()}
+    for r in st.collect():
+        got[r.lang] += 1
+    assert got.get("fr", 0) == 0
+    assert got["en"] == 667  # every en row kept
+    assert 230 <= got["de"] <= 440
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        deterministic_sample(docs)
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, fraction=0.5, by={"en": 1.0})
+
+
+def test_redact_text_patterns_and_plan(spark):
+    from latex_ocr_spark.operators.textstats import redact_text
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or visit https://a.io/p?q=1#f now"),
+        (1, "card 4111111111111111 and phone +1-555-123-4567 ok"),
+        (2, "plain text stays 42 intact"),
+    ]
+    df = redact_text(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {r.doc_id: r.text_redacted for r in df.collect()}
+    assert got[0] == "contact <EMAIL> or visit <URL> now"
+    assert "<LONGNUM>" in got[1] and "<PHONE>" in got[1]
+    assert "4111111111111111" not in got[1]
+    assert got[2] == "plain text stays 42 intact"
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one projection, no shuffle
