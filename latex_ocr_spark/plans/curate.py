@@ -2,11 +2,14 @@
 user actually runs, built from this repo's individually oracle-checked
 operators:
 
-    quality gates  (textstats.text_profile expressions)
+    [redaction]            (textstats.redact_text — optional scrub)
+      → quality gates        (textstats.text_profile expressions)
       → exact dedup          (dedup.exact_duplicates, keep canonical)
       → near-dup clustering  (capped Jaccard pairs → duplicate_clusters,
                               keep one representative per cluster)
       → decontamination      (dedup.decontaminate vs an eval set)
+      → [sampling]           (textstats.deterministic_sample — optional
+                              global or per-stratum down-sample)
       → cluster-safe split   (textstats.cluster_safe_split — near-dups
                               can't straddle train/val)
 
@@ -20,7 +23,7 @@ table, not discovered downstream.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
@@ -60,6 +63,8 @@ def curate_corpus(
     dedup_threshold: float = 0.5,
     ngram: int = 1,
     max_df: Optional[int] = 1000,
+    redact: bool = False,
+    sample_fraction: Optional[float] = None,
     val_fraction: float = 0.1,
     seed: str = "split-seed-1",
     id_col: str = "doc_id",
@@ -74,8 +79,15 @@ def curate_corpus(
     never land it on the other side of the split.
     """
     funnel: List[Tuple[str, int, int]] = []
-    cur = cachepool.track(docs.select(id_col, text_col))
+    cur = docs.select(id_col, text_col)
+    if redact:
+        # row-preserving scrub BEFORE any text-derived signal, so
+        # hashes/shingles/profiles see what training will see
+        cur = TS.redact_text(cur, text_col=text_col, out_col=text_col)
+    cur = cachepool.track(cur)
     n = cur.count()
+    if redact:
+        funnel.append(("redact", n, n))
 
     # 1. quality gates — one codegen'd projection, one filter
     prof = TS.text_profile(cur, text_col=text_col, id_col=id_col).select(
@@ -129,7 +141,18 @@ def curate_corpus(
     n5 = cur5.count()
     funnel.append(("decontaminate", n4, n5))
 
-    # 5. cluster-safe split (near-dups hash by their cluster canonical)
+    # 5b. optional down-sample (deterministic, subset-stable)
+    if sample_fraction is not None:
+        cur5 = cachepool.track(
+            TS.deterministic_sample(
+                cur5, fraction=sample_fraction, id_col=id_col, seed=seed + ":sample"
+            )
+        )
+        n5b = cur5.count()
+        funnel.append(("sample", n5, n5b))
+        n5 = n5b
+
+    # 6. cluster-safe split (near-dups hash by their cluster canonical)
     out = TS.cluster_safe_split(
         cur5, clusters, val_fraction=val_fraction, id_col=id_col, seed=seed
     )

@@ -104,3 +104,26 @@ def test_curation_split_matches_cluster_safe_semantics(spark):
     }
     assert re_split[300] == split[1] and re_split[301] == split[1]
     cachepool.release()
+
+
+def test_curation_optional_redact_and_sample_stages(spark):
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('ra', id, ' rb', id*3, ' rc', id*7, ' rd', id*11, "
+        "' re', id*13, ' mail', id, '@ex.com') AS text",
+    )
+    res = curate_corpus(
+        docs, min_tokens=3, redact=True, sample_fraction=0.5, val_fraction=0.2
+    )
+    f = res.funnel_dict()
+    assert f["redact"] == (200, 200)
+    n_in, n_out = f["sample"]
+    assert n_in == 200 and 70 <= n_out <= 130
+    out = res.documents.collect()
+    assert len(out) == n_out
+    # redaction happened before hashing/splitting: no raw emails survive
+    assert all("@ex.com" not in r.text for r in out)
+    assert all("<EMAIL>" in r.text for r in out)
+    from latex_ocr_spark import cachepool
+
+    cachepool.release()
