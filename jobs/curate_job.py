@@ -13,7 +13,8 @@ decontamination → cluster-safe split (plans/curate.py) and writes:
     <output>/documents/   surviving docs + split column
     <output>/report/      contamination report (if --evalset)
     <output>/clusters/    duplicate clusters
-    <output>/funnel.json  docs in/out per stage (one JSON line)
+    <output>/funnel/      docs in/out per stage (one JSON line,
+                          written through Spark so s3:// outputs work)
 
 ``--synth N`` generates N synthetic documents for a no-data smoke run.
 """
@@ -38,7 +39,13 @@ def main() -> int:
     ap.add_argument("--max-punct-ratio", type=float, default=0.3)
     ap.add_argument("--dedup-threshold", type=float, default=0.5)
     ap.add_argument("--ngram", type=int, default=1)
+    ap.add_argument("--max-df", type=int, default=1000)
+    ap.add_argument("--redact", action="store_true",
+                    help="scrub emails/URLs/number shapes before any hashing")
+    ap.add_argument("--sample-fraction", type=float,
+                    help="deterministic down-sample after decontamination")
     ap.add_argument("--val-fraction", type=float, default=0.1)
+    ap.add_argument("--seed", default="split-seed-1")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -48,17 +55,15 @@ def main() -> int:
 
     spark = get_spark("curate_job")
 
+    from latex_ocr_spark.sources.tables import looks_like_path
+
     def load_docs(source: str):
-        looks_like_path = (
-            os.sep in source
-            or source.startswith(("file:", "s3:", "hdfs:"))
-            or source.endswith(".parquet")
-            or os.path.exists(source)
-        )
-        df = spark.read.parquet(source) if looks_like_path else spark.read.table(source)
+        df = spark.read.parquet(source) if looks_like_path(source) else spark.read.table(source)
         return df.select("doc_id", "text")
 
-    if args.synth:
+    if args.synth is not None:
+        if args.synth <= 0:
+            ap.error("--synth must be a positive document count")
         docs = spark.range(args.synth).select(
             F.col("id").alias("doc_id"),
             F.concat(
@@ -81,16 +86,22 @@ def main() -> int:
         max_punct_ratio=args.max_punct_ratio,
         dedup_threshold=args.dedup_threshold,
         ngram=args.ngram,
+        max_df=args.max_df,
+        redact=args.redact,
+        sample_fraction=args.sample_fraction,
         val_fraction=args.val_fraction,
+        seed=args.seed,
     )
     res.documents.write.mode("overwrite").parquet(f"{args.output}/documents")
     if res.contamination_report is not None:
         res.contamination_report.write.mode("overwrite").parquet(f"{args.output}/report")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     funnel = {s: {"in": i, "out": o} for s, i, o in res.funnel}
-    os.makedirs(args.output, exist_ok=True)
-    with open(f"{args.output}/funnel.json", "w") as f:
-        f.write(json.dumps(funnel) + "\n")
+    # write through Spark so object-store outputs (s3://…) work — a
+    # driver-local open() would silently strand the funnel on the node
+    spark.createDataFrame([(json.dumps(funnel),)], "funnel string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{args.output}/funnel")
     print(json.dumps(funnel))
     return 0
 

@@ -291,7 +291,15 @@ _REDACTIONS = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"https?://[^\s]+", "<URL>"),
     (r"\b\d{13,19}\b", "<LONGNUM>"),  # card/account-number-shaped runs
-    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+    # phone shapes: optional +CC, optional (area) or bare area group,
+    # then the subscriber groups.  Lookarounds instead of \b — a word
+    # boundary can never fire before '+' or '(' (non-word chars), which
+    # left those prefixes unredacted and leaked partial numbers.
+    (
+        r"(?<![\w.])(?:\+\d{1,3}[-. ]?)?(?:\(\d{2,4}\)[-. ]?)?(?:\d{2,4}[-. ])?"
+        r"\d{3,4}[-. ]\d{3,4}(?![\w-])",
+        "<PHONE>",
+    ),
 )
 
 

@@ -100,34 +100,72 @@ def curate_corpus(
     n2 = cur2.count()
     funnel.append(("quality_gates", n, n2))
 
-    # 2. exact dedup — keep the canonical (min id) of each text group
-    canonical = D.exact_duplicates(cur2, text_col=text_col, id_col=id_col).select(
-        F.col("canonical_id").alias(id_col)
+    # 2. exact dedup — keep the canonical (min id) of each text group;
+    # remember every >1-group's membership so exact duplicates get
+    # cluster rows too (without them, a dropped exact copy re-added
+    # later would split-hash by its own id and could straddle its
+    # canonical — the leakage the cluster-safe split exists to prevent)
+    groups = cachepool.track(
+        D.exact_duplicates(cur2, text_col=text_col, id_col=id_col)
+    )
+    canonical = groups.select(F.col("canonical_id").alias(id_col))
+    exact_members = (
+        cur2.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .join(
+            groups.filter(F.col("dup_count") > 1).select("text_hash", "canonical_id"),
+            "text_hash",
+        )
+        .select("id", "canonical_id")
     )
     cur3 = cachepool.track(cur2.join(canonical, id_col, "left_semi"))
     n3 = cur3.count()
     funnel.append(("exact_dedup", n2, n3))
 
     # 3. near-dup clustering — keep one representative per cluster
-    pairs = D.jaccard_pairs(
-        cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
-        ngram=ngram, max_df=max_df,
-    )
-    if pairs.limit(1).count() == 0:
-        clusters = pairs.sparkSession.createDataFrame(
-            [], "id long, cluster_id long"
+    pairs = cachepool.track(
+        D.jaccard_pairs(
+            cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
+            ngram=ngram, max_df=max_df,
         )
+    )
+    if not pairs.take(1):
+        # empty frame typed from the data, not a hardcoded long schema
+        # (string ids must survive the later split join)
+        near_clusters = cur3.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+        ).limit(0)
         cur4 = cur3
     else:
-        clusters = cachepool.track(D.duplicate_clusters(pairs))
-        non_canonical = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-            F.col("id").alias(id_col)
-        )
+        near_clusters = cachepool.track(D.duplicate_clusters(pairs))
+        non_canonical = near_clusters.filter(
+            F.col("id") != F.col("cluster_id")
+        ).select(F.col("id").alias(id_col))
         cur4 = cachepool.track(
             cur3.join(F.broadcast(non_canonical), id_col, "left_anti")
         )
     n4 = cur4.count()
     funnel.append(("near_dup_clusters", n3, n4))
+
+    # full cluster table = near-dup components ∪ exact-dup groups, the
+    # latter resolved THROUGH their canonical's near-dup cluster when
+    # one exists (A≡B exact, A≈C near → B's cluster is C's cluster id)
+    exact_resolved = (
+        exact_members.join(
+            near_clusters.select(
+                F.col("id").alias("canonical_id"), F.col("cluster_id").alias("_near_cl")
+            ),
+            "canonical_id",
+            "left",
+        )
+        .select(
+            "id", F.coalesce("_near_cl", "canonical_id").alias("cluster_id")
+        )
+    )
+    clusters = (
+        near_clusters.unionByName(exact_resolved)
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
     # 4. decontamination vs the eval set
     report = None

@@ -74,6 +74,19 @@ ICEBERG_SUBMIT_CONF = {
 }
 
 
+def looks_like_path(source: str) -> bool:
+    """Heuristic shared by every path-or-catalog-identifier input seam
+    (read_transcripts, jobs/*): filesystem path if it has a separator,
+    a storage scheme, a .parquet suffix (bare relative filename), or
+    exists locally; otherwise a catalog table identifier."""
+    return (
+        os.sep in source
+        or source.startswith(("file:", "s3:", "s3a:", "gs:", "abfs:", "hdfs:"))
+        or source.endswith(".parquet")
+        or os.path.exists(source)
+    )
+
+
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     """The flagship input: a transcripts table with the BASELINE.json
     input_hint schema (conv_id, turn_idx, role, text, tool, ts).
@@ -89,13 +102,7 @@ def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     10¹²-turn job should fail at plan time, not after an hour of
     extraction.
     """
-    looks_like_path = (
-        os.sep in source
-        or source.startswith(("file:", "s3:", "hdfs:"))
-        or source.endswith(".parquet")   # bare relative filename
-        or os.path.exists(source)        # local relative dir (scheme paths matched above)
-    )
-    df = spark.read.parquet(source) if looks_like_path else spark.read.table(source)
+    df = spark.read.parquet(source) if looks_like_path(source) else spark.read.table(source)
     want = {f.name: f.dataType for f in TRANSCRIPTS_SCHEMA.fields}
     have = {f.name: f.dataType for f in df.schema.fields}
     missing = {n: t for n, t in want.items() if have.get(n) != t}

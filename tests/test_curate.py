@@ -62,6 +62,10 @@ def test_curation_funnel_end_to_end(spark):
 
     cl = {r.id: r.cluster_id for r in res.clusters.collect()}
     assert cl[300] == 1 and cl[301] == 1 and cl[1] == 1
+    # exact duplicates get cluster rows too (review finding: without
+    # them a re-added exact copy could split-hash away from its
+    # canonical); resolved through the canonical's near-cluster
+    assert cl[200] == 0 and cl[201] == 0 and cl[0] == 0
     cachepool.release()
 
 

@@ -171,13 +171,16 @@ def test_redact_text_patterns_and_plan(spark):
         (0, "contact bob.smith+x@example.co.uk or visit https://a.io/p?q=1#f now"),
         (1, "card 4111111111111111 and phone +1-555-123-4567 ok"),
         (2, "plain text stays 42 intact"),
+        (3, "call (212) 555-0198 or 555-0199 today"),
     ]
     df = redact_text(spark.createDataFrame(rows, "doc_id long, text string"))
     got = {r.doc_id: r.text_redacted for r in df.collect()}
     assert got[0] == "contact <EMAIL> or visit <URL> now"
-    assert "<LONGNUM>" in got[1] and "<PHONE>" in got[1]
-    assert "4111111111111111" not in got[1]
+    # the FULL number is redacted — no digit groups may leak around the
+    # placeholder (the first pattern draft left '+1-' and '-4567' behind)
+    assert got[1] == "card <LONGNUM> and phone <PHONE> ok"
     assert got[2] == "plain text stays 42 intact"
+    assert got[3] == "call <PHONE> or <PHONE> today"
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # one projection, no shuffle
