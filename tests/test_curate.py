@@ -131,3 +131,55 @@ def test_curation_optional_redact_and_sample_stages(spark):
     from latex_ocr_spark import cachepool
 
     cachepool.release()
+
+
+def test_curation_invariants_over_random_corpora(spark):
+    """Bounded fuzz: over randomized small corpora (dup rates, junk
+    docs, contamination), the funnel must preserve its invariants —
+    monotone counts, no surviving exact-dup texts, no surviving
+    contamination, near-dup pairs never straddling the split."""
+    import random
+
+    from latex_ocr_spark.operators.dedup import jaccard_pairs
+
+    rng = random.Random(11)
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    evalset = spark.createDataFrame(
+        [(-1, eval_text)], "doc_id long, text string"
+    )
+    for trial in range(3):
+        rows = []
+        for i in range(rng.randint(20, 60)):
+            r = rng.random()
+            if r < 0.15 and rows:  # exact dup of an earlier doc
+                rows.append((1000 + i, rows[rng.randrange(len(rows))][1]))
+            elif r < 0.25:         # contaminated
+                rows.append((1000 + i, eval_text))
+            elif r < 0.35:         # junk (too short)
+                rows.append((1000 + i, f"x{i}"))
+            else:
+                rows.append(
+                    (1000 + i,
+                     f"w{i} a{i*3} b{i*5} c{i*7} d{i*11} e{i*13} f{i*17}")
+                )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        res = curate_corpus(docs, evalset, min_tokens=3, dedup_threshold=0.5,
+                            ngram=1, val_fraction=0.4)
+        # monotone funnel, stage outputs chain
+        prev_out = None
+        for stage, n_in, n_out in res.funnel:
+            assert n_out <= n_in, (trial, stage)
+            if prev_out is not None:
+                assert n_in == prev_out, (trial, stage)
+            prev_out = n_out
+        out = res.documents.collect()
+        assert len(out) == prev_out
+        texts = [r.text for r in out]
+        assert len(texts) == len(set(texts)), "exact dups survived"
+        assert eval_text not in texts, "contamination survived"
+        # no surviving near-dup pair straddles the split
+        split = {r.doc_id: r.split for r in out}
+        surv = res.documents.select("doc_id", "text")
+        for p in jaccard_pairs(surv, threshold=0.5, ngram=1).collect():
+            assert split[p.a_id] == split[p.b_id], (trial, p)
+        cachepool.release()
