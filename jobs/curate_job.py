@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--max-punct-ratio", type=float, default=0.3)
     ap.add_argument("--dedup-threshold", type=float, default=0.5)
+    ap.add_argument("--near-dup-method", choices=("lsh", "jaccard"), default="lsh",
+                    help="near-dup pair generator: LSH+verify (scale path) or exact capped Jaccard")
     ap.add_argument("--ngram", type=int, default=1)
     ap.add_argument("--max-df", type=int, default=1000)
     ap.add_argument("--redact", action="store_true",
@@ -85,6 +87,7 @@ def main() -> int:
         min_tokens=args.min_tokens,
         max_punct_ratio=args.max_punct_ratio,
         dedup_threshold=args.dedup_threshold,
+        near_dup_method=args.near_dup_method,
         ngram=args.ngram,
         max_df=args.max_df,
         redact=args.redact,

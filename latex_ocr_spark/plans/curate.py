@@ -5,8 +5,10 @@ operators:
     [redaction]            (textstats.redact_text — optional scrub)
       → quality gates        (textstats.text_profile expressions)
       → exact dedup          (dedup.exact_duplicates, keep canonical)
-      → near-dup clustering  (capped Jaccard pairs → duplicate_clusters,
-                              keep one representative per cluster)
+      → near-dup clustering  (LSH+verify pairs by default — the scale
+                              path — or capped exact Jaccard;
+                              → duplicate_clusters, keep one
+                              representative per cluster)
       → decontamination      (dedup.decontaminate vs an eval set)
       → [sampling]           (textstats.deterministic_sample — optional
                               global or per-stratum down-sample)
@@ -61,6 +63,7 @@ def curate_corpus(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.3,
     dedup_threshold: float = 0.5,
+    near_dup_method: str = "lsh",
     ngram: int = 1,
     max_df: Optional[int] = 1000,
     redact: bool = False,
@@ -77,6 +80,13 @@ def curate_corpus(
     final split hashes by cluster canonical id even though only
     canonicals survive, so re-adding a dropped near-dup later can
     never land it on the other side of the split.
+
+    ``near_dup_method``: ``'lsh'`` (default) generates pairs with the
+    production MinHash-LSH + exact-verify plan — the 100 TB path,
+    quadratic work bounded by band collisions; ``'jaccard'`` uses the
+    exact inverted-index self-join (with the ``max_df`` hot-shingle
+    cap) — deterministic full recall, the right choice for small
+    corpora and for pinning exact counts in tests.
     """
     funnel: List[Tuple[str, int, int]] = []
     cur = docs.select(id_col, text_col)
@@ -122,12 +132,19 @@ def curate_corpus(
     funnel.append(("exact_dedup", n2, n3))
 
     # 3. near-dup clustering — keep one representative per cluster
-    pairs = cachepool.track(
-        D.jaccard_pairs(
+    if near_dup_method == "lsh":
+        raw_pairs = D.lsh_verified_pairs(
+            cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
+            ngram=ngram,
+        )
+    elif near_dup_method == "jaccard":
+        raw_pairs = D.jaccard_pairs(
             cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
             ngram=ngram, max_df=max_df,
         )
-    )
+    else:
+        raise ValueError(f"near_dup_method must be 'lsh' or 'jaccard', got {near_dup_method!r}")
+    pairs = cachepool.track(raw_pairs)
     if not pairs.take(1):
         # empty frame typed from the data, not a hardcoded long schema
         # (string ids must survive the later split join)

@@ -43,7 +43,8 @@ def test_curation_funnel_end_to_end(spark):
     )
     res = curate_corpus(
         docs, evalset, min_tokens=5, max_punct_ratio=0.3,
-        dedup_threshold=0.5, ngram=1, val_fraction=0.3,
+        dedup_threshold=0.5, near_dup_method="jaccard", ngram=1,
+        val_fraction=0.3,
     )
     f = res.funnel_dict()
     assert f["quality_gates"] == (29, 25)        # 3 short + 1 punct dropped
@@ -92,8 +93,8 @@ def test_curation_split_matches_cluster_safe_semantics(spark):
     from latex_ocr_spark.operators.textstats import cluster_safe_split
 
     docs = _fixture(spark)
-    res = curate_corpus(docs, min_tokens=5, dedup_threshold=0.5, ngram=1,
-                        val_fraction=0.5)
+    res = curate_corpus(docs, min_tokens=5, dedup_threshold=0.5,
+                        near_dup_method="jaccard", ngram=1, val_fraction=0.5)
     split = {r.doc_id: r.split for r in res.documents.collect()}
     # doc 1 survived; 300/301 were dropped as its near-dups.  Assign
     # them through the same cluster table: must match doc 1's side.
@@ -164,7 +165,7 @@ def test_curation_invariants_over_random_corpora(spark):
                 )
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         res = curate_corpus(docs, evalset, min_tokens=3, dedup_threshold=0.5,
-                            ngram=1, val_fraction=0.4)
+                            near_dup_method="jaccard", ngram=1, val_fraction=0.4)
         # monotone funnel, stage outputs chain
         prev_out = None
         for stage, n_in, n_out in res.funnel:
@@ -183,3 +184,30 @@ def test_curation_invariants_over_random_corpora(spark):
         for p in jaccard_pairs(surv, threshold=0.5, ngram=1).collect():
             assert split[p.a_id] == split[p.b_id], (trial, p)
         cachepool.release()
+
+
+def test_curation_lsh_method_catches_high_similarity_dups(spark):
+    """The default (scale-path) LSH near-dup method through the full
+    funnel.  Plants are HIGH-similarity (one token of sixteen changed,
+    unigram jaccard ≈ 0.88) — LSH's recall is probabilistic and the
+    0.7-jaccard plants the exact-method test uses can legitimately
+    miss a band (that recall trade is the documented difference
+    between the methods, pinned here by construction)."""
+    rows = [
+        (i, " ".join(f"tk{i}_{j}" for j in range(16))) for i in range(10)
+    ]
+    base = rows[1][1]
+    rows.append((300, base.replace("tk1_3", "zz3", 1)))   # ≈0.88 jaccard
+    rows.append((301, base.replace("tk1_5", "zz5", 1)))
+    rows.append((200, rows[0][1]))                        # exact copy
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate_corpus(docs, min_tokens=5, dedup_threshold=0.5,
+                        near_dup_method="lsh", ngram=1, val_fraction=0.3)
+    assert sorted(r.doc_id for r in res.documents.collect()) == list(range(10))
+    cl = {r.id: r.cluster_id for r in res.clusters.collect()}
+    assert cl[300] == 1 and cl[301] == 1 and cl[200] == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="near_dup_method"):
+        curate_corpus(docs, near_dup_method="bogus")
+    cachepool.release()
