@@ -41,7 +41,12 @@ def main() -> int:
     ap.add_argument("--near-dup-method", choices=("lsh", "jaccard"), default="lsh",
                     help="near-dup pair generator: LSH+verify (scale path) or exact capped Jaccard")
     ap.add_argument("--ngram", type=int, default=1)
-    ap.add_argument("--max-df", type=int, default=1000)
+    ap.add_argument("--max-df", type=int,
+                    help="hot-shingle cap (jaccard method only; default 1000)")
+    ap.add_argument("--max-bucket-size", type=int,
+                    help="degenerate-bucket cap (lsh method only)")
+    ap.add_argument("--num-hashes", type=int, default=8)
+    ap.add_argument("--band-size", type=int, default=2)
     ap.add_argument("--redact", action="store_true",
                     help="scrub emails/URLs/number shapes before any hashing")
     ap.add_argument("--sample-fraction", type=float,
@@ -89,6 +94,9 @@ def main() -> int:
         dedup_threshold=args.dedup_threshold,
         near_dup_method=args.near_dup_method,
         ngram=args.ngram,
+        num_hashes=args.num_hashes,
+        band_size=args.band_size,
+        max_bucket_size=args.max_bucket_size,
         max_df=args.max_df,
         redact=args.redact,
         sample_fraction=args.sample_fraction,

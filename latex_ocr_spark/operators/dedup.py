@@ -280,6 +280,7 @@ def lsh_verified_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The production near-dup plan: LSH candidates → exact Jaccard
     re-check on candidates only.
@@ -291,7 +292,8 @@ def lsh_verified_pairs(
     """
     sh = cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
     cand = lsh_candidate_pairs(
-        docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh
+        docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh,
+        max_bucket_size=max_bucket_size,
     )
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")

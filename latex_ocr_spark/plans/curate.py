@@ -65,7 +65,10 @@ def curate_corpus(
     dedup_threshold: float = 0.5,
     near_dup_method: str = "lsh",
     ngram: int = 1,
-    max_df: Optional[int] = 1000,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: Optional[int] = None,
+    max_df: Optional[int] = None,
     redact: bool = False,
     sample_fraction: Optional[float] = None,
     val_fraction: float = 0.1,
@@ -83,11 +86,32 @@ def curate_corpus(
 
     ``near_dup_method``: ``'lsh'`` (default) generates pairs with the
     production MinHash-LSH + exact-verify plan — the 100 TB path,
-    quadratic work bounded by band collisions; ``'jaccard'`` uses the
-    exact inverted-index self-join (with the ``max_df`` hot-shingle
-    cap) — deterministic full recall, the right choice for small
-    corpora and for pinning exact counts in tests.
+    quadratic work bounded by band collisions, ``max_bucket_size``
+    capping degenerate buckets (the k² blowup on a huge boilerplate
+    family).  Recall is probabilistic for borderline pairs: with the
+    default 8 hashes / band size 2, a pair exactly AT threshold 0.5
+    collides in some band ~68% of the time (1-(1-s^2)^4) while a
+    0.9-jaccard pair is found >99.97% — raise ``num_hashes`` (more
+    bands) to buy recall near the threshold, so the docstring's
+    "near-dups can't straddle the split" guarantee is exact only for
+    pairs LSH surfaces.  ``'jaccard'`` uses the exact inverted-index
+    self-join (``max_df`` hot-shingle cap, default 1000) —
+    deterministic full recall, the right choice for small corpora and
+    for pinning exact counts in tests.  ``max_df`` applies only to
+    'jaccard' and ``max_bucket_size``/``num_hashes``/``band_size``
+    only to 'lsh'; setting one for the other method raises rather
+    than silently ignoring a blowup mitigation.
     """
+    if near_dup_method not in ("lsh", "jaccard"):
+        raise ValueError(
+            f"near_dup_method must be 'lsh' or 'jaccard', got {near_dup_method!r}"
+        )
+    if near_dup_method == "lsh" and max_df is not None:
+        raise ValueError("max_df applies to near_dup_method='jaccard'; "
+                         "use max_bucket_size for the LSH path")
+    if near_dup_method == "jaccard" and max_bucket_size is not None:
+        raise ValueError("max_bucket_size applies to near_dup_method='lsh'; "
+                         "use max_df for the exact path")
     funnel: List[Tuple[str, int, int]] = []
     cur = docs.select(id_col, text_col)
     if redact:
@@ -134,16 +158,15 @@ def curate_corpus(
     # 3. near-dup clustering — keep one representative per cluster
     if near_dup_method == "lsh":
         raw_pairs = D.lsh_verified_pairs(
-            cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
-            ngram=ngram,
-        )
-    elif near_dup_method == "jaccard":
-        raw_pairs = D.jaccard_pairs(
-            cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
-            ngram=ngram, max_df=max_df,
+            cur3, threshold=dedup_threshold, num_hashes=num_hashes,
+            band_size=band_size, text_col=text_col, id_col=id_col,
+            ngram=ngram, max_bucket_size=max_bucket_size,
         )
     else:
-        raise ValueError(f"near_dup_method must be 'lsh' or 'jaccard', got {near_dup_method!r}")
+        raw_pairs = D.jaccard_pairs(
+            cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
+            ngram=ngram, max_df=max_df if max_df is not None else 1000,
+        )
     pairs = cachepool.track(raw_pairs)
     if not pairs.take(1):
         # empty frame typed from the data, not a hardcoded long schema

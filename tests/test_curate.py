@@ -154,6 +154,11 @@ def test_curation_invariants_over_random_corpora(spark):
             r = rng.random()
             if r < 0.15 and rows:  # exact dup of an earlier doc
                 rows.append((1000 + i, rows[rng.randrange(len(rows))][1]))
+            elif r < 0.2 and rows:  # near-dup: one token mutated
+                src = rows[rng.randrange(len(rows))][1]
+                toks = src.split()
+                toks[rng.randrange(len(toks))] = f"mut{i}"
+                rows.append((1000 + i, " ".join(toks)))
             elif r < 0.25:         # contaminated
                 rows.append((1000 + i, eval_text))
             elif r < 0.35:         # junk (too short)
