@@ -396,7 +396,15 @@ def simhash64(
     tests/test_dedup.py and resources/goldens/simhash64.parquet.)
 
     Documents with zero tokens are dropped (the r1 explode semantics).
+
+    Zero *inherent* shuffles: on an already-parallel scan (any corpus-
+    scale input) the plan is scan→filter→project with no exchange —
+    asserted in tests/test_plan_shapes.py.  The amplification guard
+    adds one fan-out exchange ONLY when the input is a single
+    under-parallel split (test-scale parquet), where the per-row
+    64-vote fold would otherwise serialize on one core.
     """
+    docs = _with_min_parallelism(docs)
     toks = _tokens(text_col)
     return (
         docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))

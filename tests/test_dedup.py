@@ -50,9 +50,15 @@ def test_simhash_zero_token_docs_dropped(spark):
 
 
 def test_simhash_plan_has_no_exchange(spark, sf_small):
-    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    # assert on an already-parallel input — the corpus-scale shape;
+    # on a single test-scale split the amplification guard adds one
+    # deliberate fan-out (covered by test_shingle_amplification_guard)
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # scan -> filter -> project only
+    # only the caller's own repartition; simhash itself adds nothing
+    assert plan.count("Exchange") == 1  # scan -> (fan-out) -> filter -> project
 
 
 def test_pyxxh64_matches_spark(spark):

@@ -66,10 +66,18 @@ def test_anti_join_is_join_not_subquery_scan(spark, sf_small):
 
 
 def test_simhash_and_ids_plans(spark, sf_small):
-    # the two plans rewritten this round for scale: zero-exchange
-    # simhash, no-single-partition id assignment
+    # the two plans rewritten in r2 for scale: zero-exchange simhash,
+    # no-single-partition id assignment.  The zero-exchange claim is
+    # asserted on an ALREADY-PARALLEL input (the corpus-scale shape);
+    # on a single under-parallel test split the amplification guard
+    # deliberately adds one fan-out exchange so the 64-vote fold
+    # doesn't serialize on one core.
     from latex_ocr_spark.operators.dedup import simhash64
 
-    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
-    assert "Exchange" not in simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    # exactly the caller's own repartition exchange; simhash adds none
+    assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower()
     assert "SinglePartition" not in _plan(spark, sf_small, "w6_line_numbering")
