@@ -391,12 +391,17 @@ def make_simhash64():
                 sh = _simhash64_py(text)
                 if sh is not None:
                     seen[key] = sh
+    # sort by key: DuckDB's DISTINCT emits rows in nondeterministic
+    # order, which made the golden's bytes drift run-to-run (content
+    # was always identical — the oracle joins on text_md5 — but a
+    # regen should be byte-stable so drift is detectable at a glance)
+    items = sorted(seen.items())
     _write(
         "simhash64",
         pa.table(
             {
-                "text_md5": pa.array(list(seen.keys()), pa.string()),
-                "simhash": pa.array(list(seen.values()), pa.int64()),
+                "text_md5": pa.array([k for k, _ in items], pa.string()),
+                "simhash": pa.array([v for _, v in items], pa.int64()),
             }
         ),
     )
