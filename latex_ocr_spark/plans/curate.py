@@ -55,6 +55,19 @@ class CurationResult:
     def funnel_dict(self) -> Dict[str, Tuple[int, int]]:
         return {s: (i, o) for s, i, o in self.funnel}
 
+    def write_bucketed(
+        self, table: str, num_buckets: int = 64, id_col: str = "doc_id"
+    ) -> None:
+        """Persist the curated documents as a bucketed (and bucket-
+        sorted) managed table on the id — the storage layout that makes
+        every downstream J1-class join on the id exchange-free
+        (sources/bucketed.py; plan asserted in
+        tests/test_bucketed_join.py).  The natural sink for a corpus
+        that training-data jobs will repeatedly join metadata onto."""
+        from latex_ocr_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(self.documents, table, key=id_col, num_buckets=num_buckets)
+
 
 def curate_corpus(
     docs: DataFrame,

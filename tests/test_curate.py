@@ -216,3 +216,34 @@ def test_curation_lsh_method_catches_high_similarity_dups(spark):
     with pytest.raises(ValueError, match="near_dup_method"):
         curate_corpus(docs, near_dup_method="bogus")
     cachepool.release()
+
+
+def test_curated_output_writes_bucketed_for_colocated_joins(spark):
+    """Closing the loop with the storage layer: curated docs persisted
+    bucketed on the id join exchange-free against any same-bucketed
+    metadata table (the repeated-join layout from sources/bucketed.py)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from latex_ocr_spark.sources.bucketed import colocated_join, write_bucketed
+
+    for t in ("curated_docs_tbl", "doc_meta_tbl"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('ba', id, ' bb', id*3, ' bc', id*7, ' bd', id*11, ' be', id*13) AS text",
+    )
+    res = curate_corpus(docs, min_tokens=3, val_fraction=0.2)
+    res.write_bucketed("curated_docs_tbl", num_buckets=8)
+
+    meta = spark.range(200).selectExpr("id AS doc_id", "id % 5 AS shard")
+    write_bucketed(meta, "doc_meta_tbl", key="doc_id", num_buckets=8)
+
+    joined = colocated_join(spark, "curated_docs_tbl", "doc_meta_tbl", "doc_id")
+    assert joined.count() == 200
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # bucket-co-located
+    cachepool.release()
