@@ -20,15 +20,32 @@ def _tokens(col: str):
     return F.filter(F.split(F.col(col), r"\s+"), lambda t: t != "")
 
 
+def _punct_ratio_expr(text_col: str):
+    """THE punctuation-ratio expression — shared by quality_scores,
+    text_profile and quality_gate so a gate can never drift from the
+    profile it is documented to agree with (rounding included)."""
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    return F.round(
+        F.when(
+            F.length(F.col(text_col)) > 0, n_punct / F.length(F.col(text_col))
+        ).otherwise(0.0),
+        4,
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, n_chars_seen) — whitespace tokenization.
 
     The BPE-accurate count lives in the tokenizer operator; this is the
     cheap JVM-side estimate used for gating and bucketing.
+
+    The id column keeps its own type (like ``dedup.exact_duplicates``):
+    string doc ids are a supported contract, and a cast-to-long would
+    silently nullify them.
     """
     toks = _tokens(text_col)
     return docs.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars_seen"),
     )
@@ -41,17 +58,14 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     return docs.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         n.cast("long").alias("n_tokens"),
         F.round(
             F.when(n > 0, (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n)).otherwise(0.0), 4
         ).alias("mean_token_len"),
         F.round(F.when(n > 0, n_stop / n).otherwise(0.0), 4).alias("stopword_ratio"),
-        F.round(
-            F.when(F.length(F.col(text_col)) > 0, n_punct / F.length(F.col(text_col))).otherwise(0.0), 4
-        ).alias("punct_ratio"),
+        _punct_ratio_expr(text_col).alias("punct_ratio"),
     )
 
 
@@ -70,7 +84,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         .when(has("the") | has("a") | has("of"), "en")
         .otherwise("unk")
     )
-    return docs.select(F.col(id_col).cast("long").alias("id"), pred.alias("lang_pred"))
+    return docs.select(F.col(id_col).alias("id"), pred.alias("lang_pred"))
 
 
 def lang_id_pandas(
@@ -86,8 +100,12 @@ def lang_id_pandas(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # id keeps the input column's own type (string ids are a contract)
     schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("lang_pred", T.StringType())]
+        [
+            T.StructField("id", docs.schema[id_col].dataType),
+            T.StructField("lang_pred", T.StringType()),
+        ]
     )
     markers = [({"und", "der", "nicht"}, "de"), ({"el", "los", "y"}, "es"),
                ({"the", "a", "of"}, "en")]
@@ -106,7 +124,7 @@ def lang_id_pandas(
 
         for pdf in batches:
             yield pd.DataFrame(
-                {"id": pdf[id_col].astype("int64"), "lang_pred": pdf[text_col].map(classify)}
+                {"id": pdf[id_col], "lang_pred": pdf[text_col].map(classify)}
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
@@ -177,7 +195,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     the canonical key for incremental-crawl dedup joins."""
     normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.md5(normed).alias("fingerprint"),
     )
 
@@ -193,25 +211,47 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     :func:`token_counts`, :func:`quality_scores`, and
     :func:`fingerprints` as separate jobs (or worse, joining them
     back on id).  tests/test_textstats.py pins each column equal to
-    its standalone operator."""
+    its standalone operator.
+
+    The id column keeps its own type — a string doc id survives (the
+    cast-to-long this operator used to apply nullified string ids,
+    which silently emptied any downstream id join)."""
     toks = _tokens(text_col)
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     normed = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         n.cast("long").alias("n_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars_seen"),
         F.round(
             F.when(n > 0, (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n)).otherwise(0.0), 4
         ).alias("mean_token_len"),
         F.round(F.when(n > 0, n_stop / n).otherwise(0.0), 4).alias("stopword_ratio"),
-        F.round(
-            F.when(F.length(F.col(text_col)) > 0, n_punct / F.length(F.col(text_col))).otherwise(0.0), 4
-        ).alias("punct_ratio"),
+        _punct_ratio_expr(text_col).alias("punct_ratio"),
         F.md5(normed).alias("fingerprint"),
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep rows passing the standard quality gates — the SAME
+    ``n_tokens`` / ``punct_ratio`` expressions as :func:`text_profile`
+    (shared helpers, rounding included) applied as a plain filter.
+
+    Column-preserving: every input column, the id included, passes
+    through untouched at its own type.  This is the gate the curation
+    funnel uses — a profile-then-join formulation would cost an id
+    shuffle and (before round 4) silently dropped string-id corpora
+    via the profile's id cast."""
+    return docs.filter(
+        (F.size(_tokens(text_col)) >= min_tokens)
+        & (_punct_ratio_expr(text_col) <= max_punct_ratio)
     )
 
 

@@ -15,9 +15,20 @@ batch operator applied per micro-batch inside ``foreachBatch``
 
 The eval set's shingle/signature frames are small (benchmarks are) and
 broadcast inside every micro-batch join, so each batch costs one scan
-of its own files plus the broadcast probes.  ``availableNow`` +
-checkpoint give exactly-once file progress, mirroring
-``streaming/stream.py``.
+of its own files plus the broadcast probes.
+
+Delivery semantics: ``availableNow`` + checkpoint give exactly-once
+*file progress* (a fully processed batch is never re-read), but the
+two independent parquet appends inside ``foreachBatch`` make the
+OUTPUT at-least-once — a batch that fails between or after the writes
+is retried on restart and appends its rows again.  Readers that need
+exactly-once results dedup on read: both outputs have natural keys
+(``report`` on (corpus_id, eval_id); ``cleaned`` on doc_id), so a
+``dropDuplicates`` over the key — or writing the consumer-side join
+through one of this repo's exact-dedup operators — removes replay
+copies.  (The alternative, idempotent batch_id-partitioned dynamic
+overwrite, trades that read-side dedup for a partition-registry
+commit; documented rather than imposed.)
 """
 
 from __future__ import annotations
@@ -58,12 +69,15 @@ def start_decontamination_stream(
     )
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
-        report, cleaned = decontaminate(
-            batch_df, evalset, threshold=threshold, ngram=ngram
-        )
-        report.write.mode("append").parquet(report_dir)
-        cleaned.write.mode("append").parquet(clean_dir)
-        cachepool.release()  # batch-scoped frames die with the batch
+        # scoped, not release(): this runs on the stream's micro-batch
+        # thread, and a global sweep here would unpersist frames a
+        # concurrently running batch query or second stream still needs
+        with cachepool.scoped():
+            report, cleaned = decontaminate(
+                batch_df, evalset, threshold=threshold, ngram=ngram
+            )
+            report.write.mode("append").parquet(report_dir)
+            cleaned.write.mode("append").parquet(clean_dir)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

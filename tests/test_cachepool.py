@@ -74,3 +74,55 @@ def test_deferred_consumption_after_release_keeps_ids_consistent(spark):
     ids = sorted(r.eq_id for r in rows)
     assert ids == list(range(1, len(ids) + 1)), "global ids desynced after release"
     cachepool.release()
+
+
+def test_scoped_pool_releases_only_its_own_frames(spark):
+    """A scope owns exactly the frames tracked inside it: exit
+    unpersists them and leaves the global pool untouched (the contract
+    a foreachBatch body relies on)."""
+    spark.catalog.clearCache()
+    cachepool.release()
+    outer = cachepool.track(spark.range(50).selectExpr("id", "id*3 AS z"))
+    outer.count()
+
+    with cachepool.scoped() as pool:
+        inner = cachepool.track(spark.range(40).selectExpr("id", "id*5 AS w"))
+        inner.count()
+        assert len(pool) == 1
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory, "scope exit must unpersist its frames"
+    assert outer.storageLevel.useMemory, "scope exit must not touch the global pool"
+    assert cachepool.release() == 1  # only the outer frame remained tracked
+    assert _n_cached(spark)
+
+
+def test_scoped_pool_is_thread_isolated(spark):
+    """Micro-batch threads: a scope opened on another thread must not
+    capture this thread's tracked frames, and a release() on the main
+    thread must not free the other thread's scoped frames mid-scope."""
+    import threading
+
+    spark.catalog.clearCache()
+    cachepool.release()
+    main_frame = cachepool.track(spark.range(30).selectExpr("id", "id+1 AS a"))
+    main_frame.count()
+
+    state = {}
+
+    def worker():
+        with cachepool.scoped():
+            df = cachepool.track(spark.range(20).selectExpr("id", "id+2 AS b"))
+            df.count()
+            state["df"] = df
+            state["cached_inside"] = df.storageLevel.useMemory
+            # a global release on another pool must not see this frame
+            state["main_released"] = cachepool.release()
+            state["still_cached"] = df.storageLevel.useMemory
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert state["cached_inside"] and state["still_cached"]
+    assert state["main_released"] == 1          # freed main_frame only
+    assert not state["df"].storageLevel.useMemory  # freed at scope exit
+    assert not main_frame.storageLevel.useMemory

@@ -184,3 +184,30 @@ def test_redact_text_patterns_and_plan(spark):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # one projection, no shuffle
+
+
+def test_quality_gate_matches_text_profile_thresholds(spark, sf_small):
+    """quality_gate is the curation funnel's inline form of the
+    profile-derived gate: same expressions (shared helpers), so the
+    kept id set must equal filtering text_profile — and it must
+    preserve string ids, the case the profile's old id cast nullified."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_small)
+    via_profile = {
+        r["id"]
+        for r in TS.text_profile(docs)
+        .filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.3))
+        .collect()
+    }
+    via_gate = {r["doc_id"] for r in TS.quality_gate(docs, 5, 0.3).collect()}
+    assert via_gate == via_profile and via_gate
+
+    # string ids survive every textstats operator untouched
+    sdocs = spark.createDataFrame(
+        [("doc-a", "one two three four five six"), ("doc-b", "x")],
+        "doc_id string, text string",
+    )
+    assert {r["doc_id"] for r in TS.quality_gate(sdocs, 3, 0.3).collect()} == {"doc-a"}
+    assert {r["id"] for r in TS.text_profile(sdocs).collect()} == {"doc-a", "doc-b"}
+    assert {r["id"] for r in TS.lang_id_pandas(sdocs).collect()} == {"doc-a", "doc-b"}
