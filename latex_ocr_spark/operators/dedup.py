@@ -151,6 +151,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 1,
     max_df: int | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a_id < b_id, jac ≥ threshold).
 
@@ -172,8 +173,14 @@ def jaccard_pairs(
     # max_df) the hot-shingle aggregate — persist the RAW frame before
     # deriving anything, or the dominant explode+distinct shuffle runs
     # once per consumer (cachepool-owned: released at the next query
-    # boundary)
-    sh = cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
+    # boundary).  ``_shingles`` lets a composed pipeline (curate_corpus)
+    # hand in an already-tracked shingle frame so the corpus is
+    # exploded once per run, not once per stage.
+    sh = (
+        _shingles
+        if _shingles is not None
+        else cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
+    )
     if max_df is not None:
         sh = _drop_hot_keys(sh, ["shingle"], max_df)
     a, b = sh.alias("a"), sh.alias("b")
@@ -281,6 +288,7 @@ def lsh_verified_pairs(
     id_col: str = "doc_id",
     ngram: int = 1,
     max_bucket_size: int | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The production near-dup plan: LSH candidates → exact Jaccard
     re-check on candidates only.
@@ -289,8 +297,14 @@ def lsh_verified_pairs(
     hot shingles; here the quadratic step is bounded by collisions in
     2^(128/band) band-key space.  Recall is that of MinHash-LSH
     (tunable via num_hashes/band_size); precision is exact.
+    ``_shingles`` = caller-provided (tracked) shingle frame, so a
+    composed pipeline explodes the corpus once per run.
     """
-    sh = cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
+    sh = (
+        _shingles
+        if _shingles is not None
+        else cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
+    )
     cand = lsh_candidate_pairs(
         docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh,
         max_bucket_size=max_bucket_size,
@@ -494,6 +508,8 @@ def decontaminate(
     ngram: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    _corpus_shingles: DataFrame | None = None,
 ):
     """Benchmark decontamination: find (and enable dropping of) corpus
     documents that near-duplicate an eval/benchmark document — the
@@ -510,13 +526,22 @@ def decontaminate(
     Scale shape: the eval set is small (benchmarks are), so its
     shingle/signature frames broadcast; the corpus side is touched by
     exactly one scan + one shingle explode, and the quadratic step is
-    bounded by cross-table band collisions.
+    bounded by cross-table band collisions.  ``_corpus_shingles`` lets
+    a composed pipeline (curate_corpus) hand in the shingle frame its
+    near-dup stage already built (survivor-filtered) — the corpus is
+    then never re-exploded here.  ``max_bucket_size`` caps degenerate
+    corpus-side band buckets exactly as in the self-join path.
     """
-    sh_c = cachepool.track(doc_shingles(corpus, text_col, id_col, ngram))
+    sh_c = (
+        _corpus_shingles
+        if _corpus_shingles is not None
+        else cachepool.track(doc_shingles(corpus, text_col, id_col, ngram))
+    )
     sh_e = cachepool.track(doc_shingles(evalset, text_col, id_col, ngram))
     cand = cross_lsh_candidates(
         corpus, evalset, num_hashes, band_size, ngram, text_col, id_col,
         _corpus_shingles=sh_c, _eval_shingles=sh_e,
+        max_bucket_size=max_bucket_size,
     )
     a = sh_c.select(F.col("id").alias("a_id"), "shingle")
     b = sh_e.select(F.col("id").alias("b_id"), "shingle")

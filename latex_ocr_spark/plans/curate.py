@@ -3,24 +3,35 @@ user actually runs, built from this repo's individually oracle-checked
 operators:
 
     [redaction]            (textstats.redact_text — optional scrub)
-      → quality gates        (textstats.text_profile expressions)
+      → quality gates        (textstats.quality_gate — inline filter,
+                              id untouched at its own type)
       → exact dedup          (dedup.exact_duplicates, keep canonical)
       → near-dup clustering  (LSH+verify pairs by default — the scale
                               path — or capped exact Jaccard;
                               → duplicate_clusters, keep one
                               representative per cluster)
-      → decontamination      (dedup.decontaminate vs an eval set)
+      → decontamination      (dedup.decontaminate vs an eval set,
+                              REUSING the near-dup stage's shingles)
       → [sampling]           (textstats.deterministic_sample — optional
                               global or per-stratum down-sample)
       → cluster-safe split   (textstats.cluster_safe_split — near-dups
                               can't straddle train/val)
 
-Every stage is a DataFrame → DataFrame transform; intermediates that
-feed both the funnel counts and the next stage are cachepool-tracked
-so the whole run costs one pass per stage.  The funnel (docs in/out
-per stage) is the curation run's primary observability artifact — a
-stage that silently drops 90% of a corpus should be visible in one
-table, not discovered downstream.
+Single-pass design (round 4): the funnel counts ride on ``observe()``
+metrics instead of per-stage ``count()`` actions, corpus-wide text
+frames are never persisted (only the small pair/cluster/group frames
+and the shingle frame — which genuinely feeds several joins — are
+cachepool-tracked), and the corpus is shingle-exploded exactly ONCE:
+the near-dup stage's shingle frame, survivor-filtered by a zero-shuffle
+broadcast anti-join, is handed to the decontamination stage.  At test
+scale this is invisible; at 100 TB the shingle explode and corpus-wide
+materializations were the funnel's two dominant costs.
+
+The funnel (docs in/out per stage) remains the curation run's primary
+observability artifact — a stage that silently drops 90% of a corpus
+should be visible in one table, not discovered downstream.  Collecting
+it costs one action over the final frame (the pipeline's only full
+pass besides the cluster loop's internal materializations).
 """
 
 from __future__ import annotations
@@ -28,7 +39,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from latex_ocr_spark import cachepool
@@ -67,6 +78,10 @@ class CurationResult:
         from latex_ocr_spark.sources.bucketed import write_bucketed
 
         write_bucketed(self.documents, table, key=id_col, num_buckets=num_buckets)
+
+
+def _count(name: str):
+    return F.count(F.lit(1)).alias(name)
 
 
 def curate_corpus(
@@ -114,6 +129,13 @@ def curate_corpus(
     'jaccard' and ``max_bucket_size``/``num_hashes``/``band_size``
     only to 'lsh'; setting one for the other method raises rather
     than silently ignoring a blowup mitigation.
+
+    One similarity measure end-to-end: ``ngram``, ``num_hashes``,
+    ``band_size`` and ``max_bucket_size`` are forwarded to the
+    decontamination stage too (which always runs the LSH plan — its
+    cross-table candidate step has no exact variant), so raising
+    recall knobs raises them for BOTH near-dup detection and
+    decontamination.
     """
     if near_dup_method not in ("lsh", "jaccard"):
         raise ValueError(
@@ -125,33 +147,33 @@ def curate_corpus(
     if near_dup_method == "jaccard" and max_bucket_size is not None:
         raise ValueError("max_bucket_size applies to near_dup_method='lsh'; "
                          "use max_df for the exact path")
-    funnel: List[Tuple[str, int, int]] = []
+
     cur = docs.select(id_col, text_col)
     if redact:
         # row-preserving scrub BEFORE any text-derived signal, so
         # hashes/shingles/profiles see what training will see
         cur = TS.redact_text(cur, text_col=text_col, out_col=text_col)
-    cur = cachepool.track(cur)
-    n = cur.count()
-    if redact:
-        funnel.append(("redact", n, n))
+    obs_in = Observation()
+    cur = cur.observe(obs_in, _count("n"))
 
-    # 1. quality gates — one codegen'd projection, one filter
-    prof = TS.text_profile(cur, text_col=text_col, id_col=id_col).select(
-        F.col("id").alias(id_col), "n_tokens", "punct_ratio"
-    )
-    kept_ids = prof.filter(
-        (F.col("n_tokens") >= min_tokens) & (F.col("punct_ratio") <= max_punct_ratio)
-    ).select(id_col)
-    cur2 = cachepool.track(cur.join(kept_ids, id_col, "left_semi"))
-    n2 = cur2.count()
-    funnel.append(("quality_gates", n, n2))
+    # 1. quality gates — a plain filter over the profile expressions
+    # (id untouched at its own type: string-id corpora survive; the
+    # old profile-then-semi-join formulation cost an id shuffle AND
+    # nullified string ids through the profile's id cast)
+    obs_q = Observation()
+    cur2 = TS.quality_gate(
+        cur, min_tokens=min_tokens, max_punct_ratio=max_punct_ratio,
+        text_col=text_col,
+    ).observe(obs_q, _count("n"))
 
     # 2. exact dedup — keep the canonical (min id) of each text group;
     # remember every >1-group's membership so exact duplicates get
     # cluster rows too (without them, a dropped exact copy re-added
     # later would split-hash by its own id and could straddle its
-    # canonical — the leakage the cluster-safe split exists to prevent)
+    # canonical — the leakage the cluster-safe split exists to prevent).
+    # ``groups`` is narrow (hash, id, count) and feeds two consumers —
+    # it persists; the corpus text frames do NOT (recomputing a pruned
+    # scan+filter is cheaper than caching the corpus at scale).
     groups = cachepool.track(
         D.exact_duplicates(cur2, text_col=text_col, id_col=id_col)
     )
@@ -164,40 +186,41 @@ def curate_corpus(
         )
         .select("id", "canonical_id")
     )
-    cur3 = cachepool.track(cur2.join(canonical, id_col, "left_semi"))
-    n3 = cur3.count()
-    funnel.append(("exact_dedup", n2, n3))
+    obs_e = Observation()
+    cur3 = cur2.join(canonical, id_col, "left_semi").observe(obs_e, _count("n"))
 
-    # 3. near-dup clustering — keep one representative per cluster
+    # 3. near-dup clustering — keep one representative per cluster.
+    # THE shingle frame: built once here, reused by the pair generator
+    # (signatures / candidates / verify) AND — survivor-filtered — by
+    # the decontamination stage.  One corpus explode per funnel run.
+    sh3 = cachepool.track(
+        D.doc_shingles(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
+    )
     if near_dup_method == "lsh":
         raw_pairs = D.lsh_verified_pairs(
             cur3, threshold=dedup_threshold, num_hashes=num_hashes,
             band_size=band_size, text_col=text_col, id_col=id_col,
-            ngram=ngram, max_bucket_size=max_bucket_size,
+            ngram=ngram, max_bucket_size=max_bucket_size, _shingles=sh3,
         )
     else:
         raw_pairs = D.jaccard_pairs(
             cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
             ngram=ngram, max_df=max_df if max_df is not None else 1000,
+            _shingles=sh3,
         )
     pairs = cachepool.track(raw_pairs)
-    if not pairs.take(1):
-        # empty frame typed from the data, not a hardcoded long schema
-        # (string ids must survive the later split join)
-        near_clusters = cur3.select(
-            F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-        ).limit(0)
-        cur4 = cur3
-    else:
-        near_clusters = cachepool.track(D.duplicate_clusters(pairs))
-        non_canonical = near_clusters.filter(
-            F.col("id") != F.col("cluster_id")
-        ).select(F.col("id").alias(id_col))
-        cur4 = cachepool.track(
-            cur3.join(F.broadcast(non_canonical), id_col, "left_anti")
-        )
-    n4 = cur4.count()
-    funnel.append(("near_dup_clusters", n3, n4))
+    # unconditional: duplicate_clusters is typed from the pairs frame
+    # and converges in one (empty) round when there are no near-dups,
+    # so the funnel plans identically with and without them — and the
+    # old pairs.take(1) probe job is gone
+    near_clusters = D.duplicate_clusters(pairs)
+    non_canonical = near_clusters.filter(
+        F.col("id") != F.col("cluster_id")
+    ).select(F.col("id").alias(id_col))
+    obs_n = Observation()
+    cur4 = cur3.join(F.broadcast(non_canonical), id_col, "left_anti").observe(
+        obs_n, _count("n")
+    )
 
     # full cluster table = near-dup components ∪ exact-dup groups, the
     # latter resolved THROUGH their canonical's near-dup cluster when
@@ -214,40 +237,70 @@ def curate_corpus(
             "id", F.coalesce("_near_cl", "canonical_id").alias("cluster_id")
         )
     )
-    clusters = (
+    clusters = cachepool.track(
         near_clusters.unionByName(exact_resolved)
         .groupBy("id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
 
-    # 4. decontamination vs the eval set
+    # 4. decontamination vs the eval set — on the SAME shingle frame
+    # the near-dup stage used, filtered to survivors by a map-side
+    # anti-join against the (small, already-broadcast) dropped-id set;
+    # the corpus is never re-exploded, and the recall knobs carry over
+    obs_d = None
     report = None
     cur5 = cur4
     if evalset is not None:
+        sh4 = sh3.join(
+            F.broadcast(non_canonical.withColumnRenamed(id_col, "id")),
+            "id",
+            "left_anti",
+        )
         report, cur5 = D.decontaminate(
             cur4, evalset, threshold=dedup_threshold,
-            ngram=max(ngram, 1), text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, band_size=band_size,
+            ngram=ngram, text_col=text_col, id_col=id_col,
+            max_bucket_size=max_bucket_size, _corpus_shingles=sh4,
         )
-        cur5 = cachepool.track(cur5)
-    n5 = cur5.count()
-    funnel.append(("decontaminate", n4, n5))
+        obs_d = Observation()
+        cur5 = cur5.observe(obs_d, _count("n"))
 
     # 5b. optional down-sample (deterministic, subset-stable)
+    obs_s = None
     if sample_fraction is not None:
-        cur5 = cachepool.track(
-            TS.deterministic_sample(
-                cur5, fraction=sample_fraction, id_col=id_col, seed=seed + ":sample"
-            )
-        )
-        n5b = cur5.count()
-        funnel.append(("sample", n5, n5b))
-        n5 = n5b
+        obs_s = Observation()
+        cur5 = TS.deterministic_sample(
+            cur5, fraction=sample_fraction, id_col=id_col, seed=seed + ":sample"
+        ).observe(obs_s, _count("n"))
 
     # 6. cluster-safe split (near-dups hash by their cluster canonical)
     out = TS.cluster_safe_split(
         cur5, clusters, val_fraction=val_fraction, id_col=id_col, seed=seed
     )
-    funnel.append(("split", n5, n5))
+
+    # the funnel's single action: materializes the whole pipeline once
+    # and resolves every pending observation (the early ones were
+    # already captured by the cluster loop's internal materializations,
+    # whose lineage runs through the same observed spine)
+    n_final = out.count()
+
+    def _n(obs: Observation) -> int:
+        return int(obs.get["n"])
+
+    n, n2, n3, n4 = _n(obs_in), _n(obs_q), _n(obs_e), _n(obs_n)
+    funnel: List[Tuple[str, int, int]] = []
+    if redact:
+        funnel.append(("redact", n, n))
+    funnel.append(("quality_gates", n, n2))
+    funnel.append(("exact_dedup", n2, n3))
+    funnel.append(("near_dup_clusters", n3, n4))
+    n5 = _n(obs_d) if obs_d is not None else n4
+    funnel.append(("decontaminate", n4, n5))
+    if obs_s is not None:
+        n5b = _n(obs_s)
+        funnel.append(("sample", n5, n5b))
+        n5 = n5b
+    funnel.append(("split", n5, n_final))
 
     return CurationResult(
         documents=out,

@@ -247,3 +247,117 @@ def test_curated_output_writes_bucketed_for_colocated_joins(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan  # bucket-co-located
     cachepool.release()
+
+
+def test_funnel_explodes_corpus_shingles_exactly_once(spark, monkeypatch):
+    """The round-4 single-pass guarantee: one funnel run builds corpus
+    shingles ONCE (the near-dup stage's frame, survivor-filtered, is
+    reused by decontamination).  doc_shingles is called exactly twice —
+    once for the corpus, once for the (small) eval set — and the
+    corpus-sized call happens exactly once."""
+    from latex_ocr_spark.operators import dedup as D
+    from latex_ocr_spark.plans import curate as C
+
+    calls = []
+    real = D.doc_shingles
+
+    def counting(docs, text_col="text", id_col="doc_id", ngram=1):
+        calls.append(docs)
+        return real(docs, text_col, id_col, ngram)
+
+    monkeypatch.setattr(D, "doc_shingles", counting)
+    docs = _fixture(spark)
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    res = curate_corpus(
+        docs, evalset, min_tokens=5, dedup_threshold=0.5,
+        near_dup_method="jaccard", ngram=1, val_fraction=0.3,
+    )
+    assert res.funnel_dict()["decontaminate"] == (21, 20)  # stage still ran
+    assert len(calls) == 2, f"expected corpus+eval shingling only, got {len(calls)}"
+    sizes = sorted(df.count() for df in calls)
+    assert sizes == [1, 23]  # eval set once, post-exact-dedup corpus once
+    cachepool.release()
+
+
+def test_funnel_persists_no_corpus_text_frames(spark):
+    """Round-4 materialization contract: the funnel cachepool-tracks
+    only the narrow reused frames (groups/pairs/clusters/report) and
+    the shingle frame — never a corpus-wide text frame (at 100 TB those
+    were up to 7 disk-spilled copies of the corpus)."""
+    from latex_ocr_spark import cachepool as cp
+
+    cp.release()
+    docs = _fixture(spark)
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    curate_corpus(docs, evalset, min_tokens=5, dedup_threshold=0.5,
+                  near_dup_method="jaccard", ngram=1, val_fraction=0.3)
+    tracked_cols = [set(df.columns) for df in cp._POOL]
+    assert tracked_cols, "expected the narrow reused frames to be tracked"
+    for cols in tracked_cols:
+        assert "text" not in cols, f"corpus text frame persisted: {cols}"
+    cp.release()
+
+
+def test_funnel_forwards_recall_knobs_to_decontamination(spark, monkeypatch):
+    """One similarity measure end-to-end: num_hashes/band_size/
+    max_bucket_size raised on the funnel reach the decontamination
+    stage too (they silently stayed at 8/2/None before round 4)."""
+    from latex_ocr_spark.operators import dedup as D
+    from latex_ocr_spark.plans import curate as C
+
+    seen = {}
+    real = D.decontaminate
+
+    def capturing(corpus, evalset, **kw):
+        seen.update(kw)
+        return real(corpus, evalset, **kw)
+
+    monkeypatch.setattr(C.D, "decontaminate", capturing)
+    docs = _fixture(spark)
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    curate_corpus(
+        docs, evalset, min_tokens=5, near_dup_method="lsh",
+        num_hashes=16, band_size=4, max_bucket_size=50, val_fraction=0.3,
+    )
+    assert seen["num_hashes"] == 16 and seen["band_size"] == 4
+    assert seen["max_bucket_size"] == 50
+    assert seen["_corpus_shingles"] is not None  # the reused frame
+    cachepool.release()
+
+
+def test_funnel_handles_string_doc_ids_end_to_end(spark):
+    """String ids are a first-class contract through EVERY stage (the
+    pre-round-4 quality gate cast them to long → NULL → silently
+    dropped the whole corpus via the semi-join)."""
+    rows = [(f"doc-{i:03d}", f"sa{i} sb{i*3} sc{i*7} sd{i*11} se{i*13}")
+            for i in range(12)]
+    rows.append(("doc-dup", rows[0][1]))                      # exact dup
+    rows.append(("doc-near", rows[1][1].replace("sb3", "xb3")))  # near dup
+    rows.append(("doc-bad", "tiny"))                          # quality drop
+    rows.append(("doc-evl", "alpha beta gamma delta epsilon zeta eta theta"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    evalset = spark.createDataFrame(
+        [("eval-0", "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id string, text string",
+    )
+    res = curate_corpus(docs, evalset, min_tokens=5, dedup_threshold=0.5,
+                        near_dup_method="jaccard", ngram=1, val_fraction=0.3)
+    f = res.funnel_dict()
+    assert f["quality_gates"] == (16, 15)
+    assert f["exact_dedup"] == (15, 14)
+    assert f["near_dup_clusters"] == (14, 13)
+    assert f["decontaminate"] == (13, 12)
+    ids = sorted(r.doc_id for r in res.documents.collect())
+    assert ids == sorted(r[0] for r in rows[:12])
+    cl = {r.id: r.cluster_id for r in res.clusters.collect()}
+    assert cl["doc-near"] == "doc-001" and cl["doc-dup"] == "doc-000"
+    cachepool.release()
