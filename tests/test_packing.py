@@ -84,3 +84,65 @@ def test_packing_plan_has_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1  # the range repartition, nothing else
+
+
+def test_first_fit_bins_match_linear_scan_reference():
+    """The segment-tree packer must be byte-identical to the textbook
+    linear first-fit scan it replaced (leftmost open bin that fits) —
+    on decreasing feeds (the operator's FFD order) and adversarial
+    non-monotone feeds alike."""
+    import random
+
+    from latex_ocr_spark.operators.packing import _FirstFitBins
+
+    def linear_reference(tokens, budget):
+        bins, out = [], []
+        for tok in tokens:
+            for k, used in enumerate(bins):
+                if used + tok <= budget:
+                    out.append((k, used))
+                    bins[k] += tok
+                    break
+            else:
+                bins.append(tok)
+                out.append((len(bins) - 1, 0))
+        return out
+
+    rng = random.Random(7)
+    for trial in range(20):
+        budget = rng.choice([64, 100, 512])
+        n = rng.randint(1, 400)
+        toks = [rng.randint(1, budget) for _ in range(n)]
+        if trial % 2:
+            toks.sort(reverse=True)  # the operator's actual feed order
+        ff = _FirstFitBins(budget)
+        got = [ff.place(t) for t in toks]
+        assert got == linear_reference(toks, budget), (trial, budget)
+        assert ff.used == [
+            sum(t for t, (k, _o) in zip(toks, got) if k == b)
+            for b in range(len(ff.used))
+        ]
+
+
+def test_first_fit_bins_bounded_on_pathological_partition():
+    """The r3 verdict's named pathology: a partition whose every row
+    closes a bin (50k openers then 50k exact-fillers) is quadratic for
+    the linear scan (~1.25e9 comparisons; minutes in Python).  The
+    segment tree does ~n·log(bins) work — assert the 100k placements
+    finish well under a conservative wall bound and produce the exact
+    first-fit packing."""
+    import time
+
+    from latex_ocr_spark.operators.packing import _FirstFitBins
+
+    budget, half = 100, 50_000
+    toks = [51] * half + [49] * half  # decreasing, FFD-ordered
+    ff = _FirstFitBins(budget)
+    t0 = time.time()
+    got = [ff.place(t) for t in toks]
+    dt = time.time() - t0
+    assert dt < 10.0, f"packing 1e5 pathological rows took {dt:.1f}s"
+    # first-fit semantics: opener i owns bin i; filler i tops bin i up
+    assert got[:half] == [(k, 0) for k in range(half)]
+    assert got[half:] == [(k, 51) for k in range(half)]
+    assert all(u == budget for u in ff.used)
