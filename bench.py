@@ -117,6 +117,94 @@ def _plan_cost(spark, marker: int) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# plan-cost regression gate: wall seconds on this shared host swing 3×,
+# so the bench diffs each query's {exchanges, broadcasts, shuffle_bytes}
+# against the previous round's committed BENCH_r{N}.json — exchange and
+# broadcast node counts must never grow, shuffle bytes get modest slack
+# (AQE/compression jitter).  Intentional plan changes are declared in
+# PLAN_COST_ALLOW with a reason, so a silent extra exchange — exactly
+# the regression class the 100×-scale rubric cares about — can't ride
+# in on host noise.
+# ---------------------------------------------------------------------------
+
+#: query name -> reason, for plan changes made on purpose this round
+PLAN_COST_ALLOW: dict[str, str] = {}
+
+_BYTES_SLACK_RATIO = 1.25
+_BYTES_SLACK_FLOOR = 1 << 20  # ignore <1 MiB jitter outright
+
+
+def latest_bench_json(repo_dir: str | None = None) -> tuple[str, dict] | None:
+    """(path, parsed) of the highest-numbered committed BENCH_r*.json."""
+    import glob
+    import re
+
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    with open(best[1]) as f:
+        data = json.load(f)
+    # the driver wraps this script's JSON line under "parsed"
+    return best[1], data.get("parsed", data) if isinstance(data, dict) else data
+
+
+def diff_plan_cost(prev: dict, cur: dict, allow: dict | None = None) -> list:
+    """Regressions of ``cur`` per-query plan costs vs ``prev`` (both
+    {query: {shuffle_bytes, exchanges, broadcasts}}).  Node-count growth
+    is a hard flag; shuffle bytes get ×1.25 + 1 MiB slack.  Queries in
+    ``allow`` are skipped (intentional change, reason recorded)."""
+    allow = allow if allow is not None else PLAN_COST_ALLOW
+    out = []
+    for q, c in sorted(cur.items()):
+        p = prev.get(q)
+        if not p:
+            continue  # new query this round: no baseline yet
+        if q in allow:
+            continue
+        for node in ("exchanges", "broadcasts"):
+            if c.get(node, 0) > p.get(node, 0):
+                out.append(
+                    {"query": q, "metric": node, "prev": p.get(node, 0),
+                     "cur": c.get(node, 0)}
+                )
+        pb, cb = p.get("shuffle_bytes", 0), c.get("shuffle_bytes", 0)
+        if cb > max(pb * _BYTES_SLACK_RATIO, pb + _BYTES_SLACK_FLOOR):
+            out.append(
+                {"query": q, "metric": "shuffle_bytes", "prev": pb, "cur": cb}
+            )
+    return out
+
+
+def run_curate_funnel(spark, sf_dir: str) -> dict:
+    """The composed product pipeline as a headline bench entry: full
+    curate_corpus (LSH default, the 100 TB path) over the sf documents
+    table with the registry's planted eval set.  Timed as one run — the
+    funnel performs its own internal actions (cluster loop + the single
+    funnel-count action), all captured by the plan-cost marker."""
+    from pyspark.sql import functions as F
+
+    from latex_ocr_spark.plans.curate import curate_corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    evalset = docs.filter(F.col("doc_id") < 3).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
+    )
+    res = curate_corpus(
+        docs, evalset, min_tokens=3, near_dup_method="lsh", ngram=3,
+        val_fraction=0.1,
+    )
+    _noop_write(res.documents)  # consume the result like a real sink
+    return {s: [i, o] for s, i, o in res.funnel}
+
+
 def flagship_turns(spark, n_convs: int) -> int:
     from latex_ocr_spark.datagen.transcripts import conv_length
 
@@ -212,6 +300,31 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         timings[name] = round(best, 3)
     cachepool.release()
 
+    # the composed curation funnel (single timed run; see docstring)
+    marker = _exec_marker(spark)
+    t0 = time.time()
+    funnel = run_curate_funnel(spark, sf_dir)
+    timings["curate_funnel"] = round(time.time() - t0, 3)
+    plan_cost["curate_funnel"] = _plan_cost(spark, marker)
+    cachepool.release()
+
+    # diff only against a same-scale baseline: broadcast/exchange choices
+    # legitimately differ across sf, so a cross-sf comparison would flag
+    # scale effects as regressions (or mask real ones)
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prev = latest_bench_json()
+    regressions = (
+        diff_plan_cost(prev[1].get("plan_cost", {}), plan_cost)
+        if prev and str(prev[1].get("sf")) == sf_tag
+        else []
+    )
+    if regressions:
+        print(
+            f"PLAN-COST REGRESSIONS vs {os.path.basename(prev[0])}: "
+            + json.dumps(regressions),
+            file=sys.stderr,
+        )
+
     n_turns = flagship_turns(spark, BENCH_CONVS)
     turns_per_sec = n_turns / flagship_sec
     return {
@@ -224,7 +337,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # across rounds to tell a plan regression from shared-host
         # wall-time noise
         "plan_cost": plan_cost,
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        # non-empty list = a query's plan grew vs the previous round's
+        # committed BENCH artifact without a PLAN_COST_ALLOW entry
+        "plan_regressions": regressions,
+        "curate_funnel_counts": funnel,
+        "sf": sf_tag,
         "n_turns": n_turns,
         "cpus": cpus,
         "total_sec": round(sum(timings.values()), 3),

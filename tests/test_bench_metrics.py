@@ -35,3 +35,79 @@ def test_plan_cost_counts_exchanges_and_bytes(spark):
     ).save()
     cost = _plan_cost(spark, marker)
     assert cost == {"shuffle_bytes": 0, "exchanges": 0, "broadcasts": 0}
+
+
+def test_diff_plan_cost_flags_growth_and_respects_allow():
+    from bench import diff_plan_cost
+
+    prev = {
+        "q1": {"shuffle_bytes": 10 << 20, "exchanges": 2, "broadcasts": 1},
+        "q2": {"shuffle_bytes": 100, "exchanges": 0, "broadcasts": 0},
+        "q3": {"shuffle_bytes": 50 << 20, "exchanges": 4, "broadcasts": 2},
+    }
+    cur = {
+        # exchange count grew — hard flag even with fewer bytes
+        "q1": {"shuffle_bytes": 1 << 20, "exchanges": 3, "broadcasts": 1},
+        # sub-MiB byte jitter is ignored
+        "q2": {"shuffle_bytes": 500_000, "exchanges": 0, "broadcasts": 0},
+        # bytes beyond x1.25 slack — flagged
+        "q3": {"shuffle_bytes": 80 << 20, "exchanges": 4, "broadcasts": 2},
+        # new query: no baseline, never flagged
+        "q4": {"shuffle_bytes": 1 << 30, "exchanges": 9, "broadcasts": 9},
+    }
+    got = diff_plan_cost(prev, cur, allow={})
+    assert {(r["query"], r["metric"]) for r in got} == {
+        ("q1", "exchanges"), ("q3", "shuffle_bytes"),
+    }
+    # declared-intentional changes are skipped (with a reason on file)
+    got = diff_plan_cost(prev, cur, allow={"q1": "salting added"})
+    assert {(r["query"], r["metric"]) for r in got} == {("q3", "shuffle_bytes")}
+    assert diff_plan_cost(prev, prev, allow={}) == []
+
+
+def test_latest_bench_json_picks_highest_round(tmp_path):
+    import json as J
+
+    from bench import latest_bench_json
+
+    for n, v in ((1, 10), (3, 30), (2, 20)):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(J.dumps({"value": v}))
+    path, data = latest_bench_json(str(tmp_path))
+    assert path.endswith("BENCH_r03.json") and data["value"] == 30
+    assert latest_bench_json(str(tmp_path / "empty")) is None
+
+
+def test_round_note_headlines_match_committed_artifacts():
+    """BENCH/BASELINE.md round notes must quote the artifact of record:
+    a single 'NNNk extracted-turns/sec' claim in a '## Round-N notes'
+    section must round-trip to BENCH_r0N.json's value (±1k rounding); a
+    range claim 'AAA-BBBk' must bracket it.  (Round 3 quoted a
+    different same-build invocation than the committed artifact — this
+    pins the two together from now on.)"""
+    import json as J
+    import os
+    import re
+
+    repo = "/root/repo"
+    with open(os.path.join(repo, "BENCH", "BASELINE.md")) as f:
+        md = f.read()
+    sections = re.split(r"^## ", md, flags=re.M)
+    checked = 0
+    for sec in sections:
+        m = re.match(r"Round-(\d+) notes", sec)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        art = os.path.join(repo, f"BENCH_r{rnd:02d}.json")
+        if not os.path.exists(art):
+            continue
+        with open(art) as f:
+            data = J.load(f)
+        value_k = data.get("parsed", data)["value"] / 1000.0
+        for lo, hi in re.findall(r"(\d+)-(\d+)k\s+extracted-turns/sec", sec):
+            assert int(lo) <= value_k <= int(hi), (rnd, lo, hi, value_k)
+            checked += 1
+        for claim in re.findall(r"(?<![\d-])(\d+)k\s+extracted-turns/sec", sec):
+            assert abs(int(claim) - value_k) <= 1, (rnd, claim, value_k)
+            checked += 1
+    assert checked >= 2  # r2 range + r3 headline at minimum
