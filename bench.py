@@ -187,22 +187,21 @@ def run_curate_funnel(spark, sf_dir: str) -> dict:
     table with the registry's planted eval set.  Timed as one run — the
     funnel performs its own internal actions (cluster loop + the single
     funnel-count action), all captured by the plan-cost marker."""
-    from pyspark.sql import functions as F
-
     from latex_ocr_spark.plans.curate import curate_corpus
+    from latex_ocr_spark.plans.registry import planted_evalset
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
-    evalset = docs.filter(F.col("doc_id") < 3).select(
-        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
-    )
     res = curate_corpus(
-        docs, evalset, min_tokens=3, near_dup_method="lsh", ngram=3,
-        val_fraction=0.1,
+        docs, planted_evalset(docs), min_tokens=3, near_dup_method="lsh",
+        ngram=3, val_fraction=0.1,
+        # deferred funnel: the sink write below is the resolving action
+        # — benches the production shape (jobs/curate_job.py), one pass
+        collect_funnel=False,
     )
     _noop_write(res.documents)  # consume the result like a real sink
-    return {s: [i, o] for s, i, o in res.funnel}
+    return {s: [i, o] for s, i, o in res.resolve_funnel()}
 
 
 def flagship_turns(spark, n_convs: int) -> int:

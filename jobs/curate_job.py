@@ -102,8 +102,12 @@ def main() -> int:
         sample_fraction=args.sample_fraction,
         val_fraction=args.val_fraction,
         seed=args.seed,
+        # deferred: the documents sink write below is the action that
+        # resolves the funnel observations — no dedicated count pass
+        collect_funnel=False,
     )
     res.documents.write.mode("overwrite").parquet(f"{args.output}/documents")
+    res.resolve_funnel()
     if res.contamination_report is not None:
         res.contamination_report.write.mode("overwrite").parquet(f"{args.output}/report")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")

@@ -81,8 +81,13 @@ class _FirstFitBins:
             i //= 2
 
     def place(self, tok: int) -> Tuple[int, int]:
-        """Assign ``tok`` tokens: (bin_idx, offset), opening a new bin
-        iff no open bin has room (exact first-fit semantics)."""
+        """Assign ``tok`` tokens (``tok >= 0``): (bin_idx, offset),
+        opening a new bin iff no open bin has room (exact first-fit
+        semantics).  Negative sizes are the CALLER's quarantine case —
+        a negative would descend the tree into a not-yet-opened leaf
+        (every leaf sentinel is -1), so it is rejected here."""
+        if tok < 0:
+            raise ValueError(f"token size must be non-negative, got {tok}")
         rem = self._rem
         if rem[1] >= tok:
             i = 1
@@ -143,6 +148,14 @@ def pack_sequences(
                     pack_ids.append(None)
                     offsets.append(None)
                     errors.append(f"row exceeds budget ({tok} > {budget})")
+                    continue
+                if tok < 0:
+                    # corrupt upstream count: quarantine, never fail
+                    # the task (and never shrink a bin's usage, which
+                    # is what the old linear scan silently did)
+                    pack_ids.append(None)
+                    offsets.append(None)
+                    errors.append(f"negative token count ({tok})")
                     continue
                 # first fit (input arrives sorted decreasing)
                 k, off = bins.place(tok)

@@ -36,8 +36,8 @@ pass besides the cluster loop's internal materializations).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -62,9 +62,26 @@ class CurationResult:
     funnel: List[Tuple[str, int, int]]
     contamination_report: Optional[DataFrame] = None
     clusters: Optional[DataFrame] = None
+    #: set when curate_corpus ran with collect_funnel=False: call
+    #: resolve_funnel() AFTER your own action on ``documents``
+    _funnel_resolver: Optional[Callable[[], List[Tuple[str, int, int]]]] = field(
+        default=None, repr=False
+    )
 
     def funnel_dict(self) -> Dict[str, Tuple[int, int]]:
         return {s: (i, o) for s, i, o in self.funnel}
+
+    def resolve_funnel(self) -> List[Tuple[str, int, int]]:
+        """Populate ``funnel`` in deferred mode (collect_funnel=False):
+        the observation metrics ride the CALLER's first action over
+        ``documents`` (a sink write, a count — anything), so the funnel
+        costs zero extra passes.  Call this after that action; calling
+        it before one BLOCKS until an action runs.  No-op when the
+        funnel was already collected."""
+        if self._funnel_resolver is not None:
+            self.funnel = self._funnel_resolver()
+            self._funnel_resolver = None
+        return self.funnel
 
     def write_bucketed(
         self, table: str, num_buckets: int = 64, id_col: str = "doc_id"
@@ -103,8 +120,26 @@ def curate_corpus(
     seed: str = "split-seed-1",
     id_col: str = "doc_id",
     text_col: str = "text",
+    collect_funnel: bool = True,
 ) -> CurationResult:
     """Run the full curation funnel; see module docstring.
+
+    ``collect_funnel``: True (default) runs one count action over the
+    final frame so ``CurationResult.funnel`` is populated on return.  A
+    consumer that will immediately run its own action (write the
+    documents to a sink) should pass False and call
+    ``resolve_funnel()`` AFTER that action — the observation metrics
+    ride the consumer's pass, so the funnel costs zero extra passes
+    over the corpus (at 100 TB the dedicated count pass roughly doubles
+    funnel cost; jobs/curate_job.py uses the deferred mode).
+
+    Funnel counts are ``df.observe()`` metrics (accumulator-backed).
+    In collected mode the final observed count is cross-checked against
+    the exact ``count()`` from the same action and a mismatch raises —
+    the anomaly a re-executed stage (speculation, shuffle-fetch retry)
+    could in principle introduce by re-applying a CollectMetrics
+    subtree.  Failed task attempts never contribute (Spark excludes
+    them from metric accumulators).
 
     Near-dup handling keeps each cluster's canonical (minimum-id)
     member — the reference's memo/set-dedup policy generalized.  The
@@ -278,33 +313,56 @@ def curate_corpus(
         cur5, clusters, val_fraction=val_fraction, id_col=id_col, seed=seed
     )
 
-    # the funnel's single action: materializes the whole pipeline once
-    # and resolves every pending observation (the early ones were
-    # already captured by the cluster loop's internal materializations,
-    # whose lineage runs through the same observed spine)
-    n_final = out.count()
+    def _build_funnel(n_final: Optional[int]) -> List[Tuple[str, int, int]]:
+        def _n(obs: Observation) -> int:
+            return int(obs.get["n"])
 
-    def _n(obs: Observation) -> int:
-        return int(obs.get["n"])
+        n, n2, n3, n4 = _n(obs_in), _n(obs_q), _n(obs_e), _n(obs_n)
+        funnel: List[Tuple[str, int, int]] = []
+        if redact:
+            funnel.append(("redact", n, n))
+        funnel.append(("quality_gates", n, n2))
+        funnel.append(("exact_dedup", n2, n3))
+        funnel.append(("near_dup_clusters", n3, n4))
+        n5 = _n(obs_d) if obs_d is not None else n4
+        funnel.append(("decontaminate", n4, n5))
+        if obs_s is not None:
+            n5b = _n(obs_s)
+            funnel.append(("sample", n5, n5b))
+            n5 = n5b
+        if n_final is not None and n_final != n5:
+            # the split preserves rows, and n_final came from an exact
+            # count in the same action that resolved the last
+            # observation — a mismatch means the observed metrics
+            # double-applied (e.g. a resubmitted stage re-ran a
+            # CollectMetrics subtree); surface it rather than report a
+            # corrupted funnel
+            raise RuntimeError(
+                f"funnel metrics anomaly: last observed stage count {n5} "
+                f"!= exact final count {n_final} (observation metrics "
+                f"double-applied under task/stage re-execution?)"
+            )
+        funnel.append(("split", n5, n_final if n_final is not None else n5))
+        return funnel
 
-    n, n2, n3, n4 = _n(obs_in), _n(obs_q), _n(obs_e), _n(obs_n)
-    funnel: List[Tuple[str, int, int]] = []
-    if redact:
-        funnel.append(("redact", n, n))
-    funnel.append(("quality_gates", n, n2))
-    funnel.append(("exact_dedup", n2, n3))
-    funnel.append(("near_dup_clusters", n3, n4))
-    n5 = _n(obs_d) if obs_d is not None else n4
-    funnel.append(("decontaminate", n4, n5))
-    if obs_s is not None:
-        n5b = _n(obs_s)
-        funnel.append(("sample", n5, n5b))
-        n5 = n5b
-    funnel.append(("split", n5, n_final))
+    if collect_funnel:
+        # the funnel's single action: materializes the whole pipeline
+        # once and resolves every pending observation (the early ones
+        # were already captured by the cluster loop's internal
+        # materializations, whose lineage runs through the same
+        # observed spine)
+        funnel = _build_funnel(out.count())
+        resolver = None
+    else:
+        # deferred mode: the caller's own sink action resolves the
+        # observations — the funnel costs zero extra pipeline passes
+        funnel = []
+        resolver = lambda: _build_funnel(None)  # noqa: E731
 
     return CurationResult(
         documents=out,
         funnel=funnel,
         contamination_report=report,
         clusters=clusters,
+        _funnel_resolver=resolver,
     )

@@ -54,6 +54,19 @@ def _docs(spark, sf):
     return load_table(spark, "documents", sf)
 
 
+def planted_evalset(docs):
+    """THE planted eval/benchmark set for decontamination checks: three
+    corpus documents re-keyed to negative ids (can never collide with
+    organic ids at any scale), guaranteeing ≥3 jaccard-1.0 matches so
+    the cross-table mechanism is never vacuously green.  Shared by the
+    ``dedup_decontaminate`` registry query and bench.py's
+    ``curate_funnel`` headline so the plant definition cannot drift
+    between the oracle and the benchmark."""
+    return docs.filter(F.col("doc_id") < 3).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
+    )
+
+
 def _id():
     # built lazily: Column construction needs an active SparkContext
     return F.col("doc_id").cast("string")
@@ -1085,10 +1098,7 @@ def dedup_decontaminate(spark, sf):
     exist at every scale — the oracle checks the full cross-table
     mechanism, never passes vacuously."""
     docs = _docs(spark, sf)
-    evalset = (
-        docs.filter(F.col("doc_id") < 3)
-        .select((-(F.col("doc_id") + 1)).alias("doc_id"), "text")
-    )
+    evalset = planted_evalset(docs)
     report, _cleaned = D.decontaminate(
         docs.select("doc_id", "text"), evalset, threshold=0.5, ngram=3
     )

@@ -361,3 +361,26 @@ def test_funnel_handles_string_doc_ids_end_to_end(spark):
     cl = {r.id: r.cluster_id for r in res.clusters.collect()}
     assert cl["doc-near"] == "doc-001" and cl["doc-dup"] == "doc-000"
     cachepool.release()
+
+
+def test_funnel_deferred_mode_rides_the_callers_action(spark):
+    """collect_funnel=False: funnel empty until the caller's own action
+    runs, then resolve_funnel() returns the SAME counts as collected
+    mode — zero dedicated funnel passes (the production job shape)."""
+    docs = _fixture(spark)
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    kw = dict(min_tokens=5, max_punct_ratio=0.3, dedup_threshold=0.5,
+              near_dup_method="jaccard", ngram=1, val_fraction=0.3)
+    collected = curate_corpus(docs, evalset, **kw).funnel
+    cachepool.release()
+
+    res = curate_corpus(docs, evalset, collect_funnel=False, **kw)
+    assert res.funnel == []
+    n = res.documents.count()          # the caller's action
+    assert res.resolve_funnel() == collected
+    assert res.funnel_dict()["split"] == (n, n)
+    assert res.resolve_funnel() == res.funnel  # idempotent no-op
+    cachepool.release()

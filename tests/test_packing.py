@@ -146,3 +146,24 @@ def test_first_fit_bins_bounded_on_pathological_partition():
     assert got[:half] == [(k, 0) for k in range(half)]
     assert got[half:] == [(k, 51) for k in range(half)]
     assert all(u == budget for u in ff.used)
+
+
+def test_packing_quarantines_negative_token_counts(spark):
+    """A corrupt upstream count must quarantine the row, not kill the
+    task (the segment tree would otherwise descend into an unopened
+    leaf) and not shrink a bin (the old linear scan silently placed
+    negatives)."""
+    docs = spark.createDataFrame(
+        [(0, 200), (1, -2), (2, 0), (3, 50)], "doc_id long, n_tokens long"
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, BUDGET).collect()}
+    assert rows[1].pack_id is None and "negative token count" in rows[1].pack_error
+    assert all(rows[i].pack_error is None for i in (0, 2, 3))
+    # zero-token rows still pack (harmless, first-fit keeps them)
+    assert rows[2].pack_id is not None
+
+    from latex_ocr_spark.operators.packing import _FirstFitBins
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-negative"):
+        _FirstFitBins(100).place(-5)
