@@ -111,19 +111,28 @@ def doc_shingles(
 
 
 
-def _jaccard_from_intersections(inter, sh, threshold: float, sh_b=None):
+def _jaccard_from_intersections(
+    inter, sh, threshold: float, sh_b=None, sizes=None, sizes_b=None
+):
     """(a_id, b_id, jaccard) from an intersection-count frame + the
     shingle frame(s): |A∩B| / (|A| + |B| - |A∩B|), rounded and gated.
     Shared by the exact self-join path, the LSH-verified path, and the
     cross-corpus decontamination path (``sh_b`` = the b-side shingle
     frame when a_id and b_id come from different tables) so the
-    denominator arithmetic can never drift between them."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sizes_b = (
-        sizes
-        if sh_b is None
-        else sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
+    denominator arithmetic can never drift between them.
+
+    ``sizes``/``sizes_b``: precomputed (id, n_shingles) frames.  The
+    LSH paths pass the size column their signature aggregation already
+    produced (one groupBy instead of two over the corpus shingles —
+    each separate aggregation is a full corpus-wide exchange)."""
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if sizes_b is None:
+        sizes_b = (
+            sizes
+            if sh_b is None
+            else sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
     return (
         inter.join(
             sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_shingles", "a_n"),
@@ -199,18 +208,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
     ngram: int = 1,
     _shingles: DataFrame | None = None,
+    include_size: bool = False,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) MinHash signature per document.
 
     Hash family: md5(shingle ‖ '#i') — engine-portable and seedless, so
     the DuckDB oracle reproduces it bit-for-bit.  One explode + one
     groupBy; partial min aggregation keeps the shuffle narrow.
+
+    ``include_size`` adds an ``n_shingles`` count column to the SAME
+    aggregation: the verify stage needs per-doc shingle counts for the
+    Jaccard denominator, and computing them here instead of in a second
+    ``groupBy("id")`` over the shingle frame saves one full corpus-wide
+    exchange in every LSH plan.
     """
     sh = _shingles if _shingles is not None else doc_shingles(docs, text_col, id_col, ngram)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
+    if include_size:
+        aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -242,6 +260,7 @@ def lsh_candidate_pairs(
     ngram: int = 1,
     _shingles: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    _signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any band key.
 
@@ -261,7 +280,11 @@ def lsh_candidate_pairs(
     first (``textstats.fingerprints``) or raise the cap and pay the
     join.
     """
-    sig = minhash_signatures(docs, num_hashes, text_col, id_col, ngram, _shingles)
+    sig = (
+        _signatures
+        if _signatures is not None
+        else minhash_signatures(docs, num_hashes, text_col, id_col, ngram, _shingles)
+    )
     keyed = _band_keyed(sig, num_hashes, band_size)
     keyed = cachepool.track(keyed)  # both sides of the candidate self-join read this
     if max_bucket_size is not None:
@@ -305,9 +328,18 @@ def lsh_verified_pairs(
         if _shingles is not None
         else cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
     )
+    # ONE corpus-wide groupBy produces signatures AND per-doc shingle
+    # counts (the Jaccard denominators) — the separate sizes
+    # aggregation was a second full exchange over the shingle frame
+    sig = cachepool.track(
+        minhash_signatures(
+            docs, num_hashes, text_col, id_col, ngram, _shingles=sh,
+            include_size=True,
+        )
+    )
     cand = lsh_candidate_pairs(
         docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, _signatures=sig,
     )
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")
@@ -317,7 +349,8 @@ def lsh_verified_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _jaccard_from_intersections(inter, sh, threshold)
+    sizes = sig.select("id", "n_shingles")
+    return _jaccard_from_intersections(inter, sh, threshold, sizes=sizes)
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -456,6 +489,8 @@ def cross_lsh_candidates(
     _corpus_shingles: DataFrame | None = None,
     _eval_shingles: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    _corpus_signatures: DataFrame | None = None,
+    _eval_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(corpus_id, eval_id) candidate pairs ACROSS two corpora: corpus
     documents sharing any LSH band key with an eval document.
@@ -481,8 +516,18 @@ def cross_lsh_candidates(
         if _eval_shingles is not None
         else doc_shingles(evalset, text_col, id_col, ngram)
     )
-    keyed_c = _band_keyed(minhash_signatures(None, num_hashes, _shingles=sh_c), num_hashes, band_size)
-    keyed_e = _band_keyed(minhash_signatures(None, num_hashes, _shingles=sh_e), num_hashes, band_size)
+    sig_c = (
+        _corpus_signatures
+        if _corpus_signatures is not None
+        else minhash_signatures(None, num_hashes, _shingles=sh_c)
+    )
+    sig_e = (
+        _eval_signatures
+        if _eval_signatures is not None
+        else minhash_signatures(None, num_hashes, _shingles=sh_e)
+    )
+    keyed_c = _band_keyed(sig_c, num_hashes, band_size)
+    keyed_e = _band_keyed(sig_e, num_hashes, band_size)
     if max_bucket_size is not None:
         keyed_c = _drop_hot_keys(keyed_c, ["band_idx", "band_key"], max_bucket_size)
     c, e = keyed_c.alias("c"), keyed_e.alias("e")
@@ -538,10 +583,18 @@ def decontaminate(
         else cachepool.track(doc_shingles(corpus, text_col, id_col, ngram))
     )
     sh_e = cachepool.track(doc_shingles(evalset, text_col, id_col, ngram))
+    # one corpus-wide groupBy for signatures + sizes (see
+    # lsh_verified_pairs — the separate sizes aggregation was a second
+    # full corpus exchange); the eval side is broadcast-small either way
+    sig_c = cachepool.track(
+        minhash_signatures(None, num_hashes, _shingles=sh_c, include_size=True)
+    )
+    sig_e = minhash_signatures(None, num_hashes, _shingles=sh_e, include_size=True)
     cand = cross_lsh_candidates(
         corpus, evalset, num_hashes, band_size, ngram, text_col, id_col,
         _corpus_shingles=sh_c, _eval_shingles=sh_e,
         max_bucket_size=max_bucket_size,
+        _corpus_signatures=sig_c, _eval_signatures=sig_e,
     )
     a = sh_c.select(F.col("id").alias("a_id"), "shingle")
     b = sh_e.select(F.col("id").alias("b_id"), "shingle")
@@ -552,7 +605,13 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     report = cachepool.track(
-        _jaccard_from_intersections(inter, sh_c, threshold, sh_b=sh_e).select(
+        _jaccard_from_intersections(
+            inter, sh_c, threshold, sh_b=sh_e,
+            sizes=sig_c.select("id", "n_shingles"),
+            # eval-side sizes are benchmark-small: broadcast, so the
+            # report's denominator join never shuffles the inter frame
+            sizes_b=F.broadcast(sig_e.select("id", "n_shingles")),
+        ).select(
             F.col("a_id").alias("corpus_id"),
             F.col("b_id").alias("eval_id"),
             "jaccard",
