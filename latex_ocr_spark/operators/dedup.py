@@ -86,13 +86,18 @@ def doc_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    parallel_hint: bool = True,
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; shingle = n consecutive tokens.
 
     The shingle explode multiplies rows ~tokens-per-doc× — the
     amplification guard ensures it never runs serial on an
-    under-partitioned input."""
-    docs = _with_min_parallelism(docs)
+    under-partitioned input.  Pass ``parallel_hint=False`` for inputs
+    KNOWN to be small (an eval/benchmark set): fanning a few hundred
+    rows across every core is a wasted exchange, and the guard cannot
+    tell small from under-split without an action."""
+    if parallel_hint:
+        docs = _with_min_parallelism(docs)
     toks = _tokens(text_col)
     if ngram == 1:
         sh = toks
@@ -514,7 +519,7 @@ def cross_lsh_candidates(
     sh_e = (
         _eval_shingles
         if _eval_shingles is not None
-        else doc_shingles(evalset, text_col, id_col, ngram)
+        else doc_shingles(evalset, text_col, id_col, ngram, parallel_hint=False)
     )
     sig_c = (
         _corpus_signatures
@@ -582,7 +587,11 @@ def decontaminate(
         if _corpus_shingles is not None
         else cachepool.track(doc_shingles(corpus, text_col, id_col, ngram))
     )
-    sh_e = cachepool.track(doc_shingles(evalset, text_col, id_col, ngram))
+    # eval side is benchmark-small: skip the amplification fan-out (a
+    # wasted exchange on a few hundred rows)
+    sh_e = cachepool.track(
+        doc_shingles(evalset, text_col, id_col, ngram, parallel_hint=False)
+    )
     # one corpus-wide groupBy for signatures + sizes (see
     # lsh_verified_pairs — the separate sizes aggregation was a second
     # full corpus exchange); the eval side is broadcast-small either way
