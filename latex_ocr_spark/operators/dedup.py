@@ -317,6 +317,7 @@ def lsh_verified_pairs(
     ngram: int = 1,
     max_bucket_size: int | None = None,
     _shingles: DataFrame | None = None,
+    _signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The production near-dup plan: LSH candidates → exact Jaccard
     re-check on candidates only.
@@ -326,7 +327,10 @@ def lsh_verified_pairs(
     2^(128/band) band-key space.  Recall is that of MinHash-LSH
     (tunable via num_hashes/band_size); precision is exact.
     ``_shingles`` = caller-provided (tracked) shingle frame, so a
-    composed pipeline explodes the corpus once per run.
+    composed pipeline explodes the corpus once per run; ``_signatures``
+    = caller-provided (tracked) ``minhash_signatures(...,
+    include_size=True)`` frame over those shingles, so the pipeline
+    pays the signature groupBy once too.
     """
     sh = (
         _shingles
@@ -336,10 +340,14 @@ def lsh_verified_pairs(
     # ONE corpus-wide groupBy produces signatures AND per-doc shingle
     # counts (the Jaccard denominators) — the separate sizes
     # aggregation was a second full exchange over the shingle frame
-    sig = cachepool.track(
-        minhash_signatures(
-            docs, num_hashes, text_col, id_col, ngram, _shingles=sh,
-            include_size=True,
+    sig = (
+        _signatures
+        if _signatures is not None
+        else cachepool.track(
+            minhash_signatures(
+                docs, num_hashes, text_col, id_col, ngram, _shingles=sh,
+                include_size=True,
+            )
         )
     )
     cand = lsh_candidate_pairs(
@@ -560,6 +568,8 @@ def decontaminate(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     _corpus_shingles: DataFrame | None = None,
+    _corpus_signatures: DataFrame | None = None,
+    evalset_is_small: bool = True,
 ):
     """Benchmark decontamination: find (and enable dropping of) corpus
     documents that near-duplicate an eval/benchmark document — the
@@ -579,24 +589,39 @@ def decontaminate(
     bounded by cross-table band collisions.  ``_corpus_shingles`` lets
     a composed pipeline (curate_corpus) hand in the shingle frame its
     near-dup stage already built (survivor-filtered) — the corpus is
-    then never re-exploded here.  ``max_bucket_size`` caps degenerate
-    corpus-side band buckets exactly as in the self-join path.
+    then never re-exploded here (``_corpus_signatures`` likewise hands
+    in the matching ``include_size=True`` signature frame — per-doc
+    signatures are unaffected by dropping OTHER documents, so a
+    survivor-filtered frame is exact).  ``max_bucket_size`` caps
+    degenerate corpus-side band buckets exactly as in the self-join
+    path.  ``evalset_is_small`` (default True — benchmarks are) skips
+    the eval-side amplification fan-out and broadcast-hints the
+    eval-side probes; pass False when decontaminating against a
+    corpus-sized held-out set so the guard and join planner run
+    normally.
     """
     sh_c = (
         _corpus_shingles
         if _corpus_shingles is not None
         else cachepool.track(doc_shingles(corpus, text_col, id_col, ngram))
     )
-    # eval side is benchmark-small: skip the amplification fan-out (a
-    # wasted exchange on a few hundred rows)
+    # eval side is usually benchmark-small: skip the amplification
+    # fan-out (a wasted exchange on a few hundred rows) unless told
+    # otherwise
     sh_e = cachepool.track(
-        doc_shingles(evalset, text_col, id_col, ngram, parallel_hint=False)
+        doc_shingles(
+            evalset, text_col, id_col, ngram, parallel_hint=not evalset_is_small
+        )
     )
     # one corpus-wide groupBy for signatures + sizes (see
     # lsh_verified_pairs — the separate sizes aggregation was a second
-    # full corpus exchange); the eval side is broadcast-small either way
-    sig_c = cachepool.track(
-        minhash_signatures(None, num_hashes, _shingles=sh_c, include_size=True)
+    # full corpus exchange)
+    sig_c = (
+        _corpus_signatures
+        if _corpus_signatures is not None
+        else cachepool.track(
+            minhash_signatures(None, num_hashes, _shingles=sh_c, include_size=True)
+        )
     )
     sig_e = minhash_signatures(None, num_hashes, _shingles=sh_e, include_size=True)
     cand = cross_lsh_candidates(

@@ -143,6 +143,14 @@ def pack_sequences(
                 pid = TaskContext.get().partitionId()
             pack_ids, offsets, errors = [], [], []
             for tok in pdf[n_tokens_col]:
+                if pd.isna(tok):
+                    # NULL upstream count (Arrow delivers NaN): the
+                    # most common corrupt-count shape — quarantine,
+                    # never fail the task
+                    pack_ids.append(None)
+                    offsets.append(None)
+                    errors.append("null token count")
+                    continue
                 tok = int(tok)
                 if tok > budget:
                     pack_ids.append(None)

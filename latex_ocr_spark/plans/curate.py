@@ -231,11 +231,23 @@ def curate_corpus(
     sh3 = cachepool.track(
         D.doc_shingles(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
     )
+    sig3 = None
     if near_dup_method == "lsh":
+        # ONE signature groupBy for the whole funnel: the near-dup
+        # stage and (survivor-filtered) the decontamination stage both
+        # read this frame — per-doc signatures are unaffected by
+        # dropping other documents, so the filtered reuse is exact
+        sig3 = cachepool.track(
+            D.minhash_signatures(
+                cur3, num_hashes, text_col, id_col, ngram,
+                _shingles=sh3, include_size=True,
+            )
+        )
         raw_pairs = D.lsh_verified_pairs(
             cur3, threshold=dedup_threshold, num_hashes=num_hashes,
             band_size=band_size, text_col=text_col, id_col=id_col,
             ngram=ngram, max_bucket_size=max_bucket_size, _shingles=sh3,
+            _signatures=sig3,
         )
     else:
         raw_pairs = D.jaccard_pairs(
@@ -286,16 +298,15 @@ def curate_corpus(
     report = None
     cur5 = cur4
     if evalset is not None:
-        sh4 = sh3.join(
-            F.broadcast(non_canonical.withColumnRenamed(id_col, "id")),
-            "id",
-            "left_anti",
-        )
+        dropped = F.broadcast(non_canonical.withColumnRenamed(id_col, "id"))
+        sh4 = sh3.join(dropped, "id", "left_anti")
+        sig4 = sig3.join(dropped, "id", "left_anti") if sig3 is not None else None
         report, cur5 = D.decontaminate(
             cur4, evalset, threshold=dedup_threshold,
             num_hashes=num_hashes, band_size=band_size,
             ngram=ngram, text_col=text_col, id_col=id_col,
             max_bucket_size=max_bucket_size, _corpus_shingles=sh4,
+            _corpus_signatures=sig4,
         )
         obs_d = Observation()
         cur5 = cur5.observe(obs_d, _count("n"))

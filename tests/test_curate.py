@@ -261,9 +261,9 @@ def test_funnel_explodes_corpus_shingles_exactly_once(spark, monkeypatch):
     calls = []
     real = D.doc_shingles
 
-    def counting(docs, text_col="text", id_col="doc_id", ngram=1):
+    def counting(docs, *args, **kwargs):
         calls.append(docs)
-        return real(docs, text_col, id_col, ngram)
+        return real(docs, *args, **kwargs)
 
     monkeypatch.setattr(D, "doc_shingles", counting)
     docs = _fixture(spark)
@@ -383,4 +383,33 @@ def test_funnel_deferred_mode_rides_the_callers_action(spark):
     assert res.resolve_funnel() == collected
     assert res.funnel_dict()["split"] == (n, n)
     assert res.resolve_funnel() == res.funnel  # idempotent no-op
+    cachepool.release()
+
+
+def test_lsh_funnel_computes_signatures_exactly_once(spark, monkeypatch):
+    """The LSH funnel pays the corpus signature groupBy ONCE: the
+    near-dup stage's (tracked) signature frame, survivor-filtered, is
+    reused by decontamination — exactly two minhash_signatures calls
+    per run (corpus + the small eval side)."""
+    from latex_ocr_spark.operators import dedup as D
+
+    calls = []
+    real = D.minhash_signatures
+
+    def counting(docs, *args, **kwargs):
+        calls.append((docs, kwargs.get("_shingles")))
+        return real(docs, *args, **kwargs)
+
+    monkeypatch.setattr(D, "minhash_signatures", counting)
+    rows = [(i, " ".join(f"mk{i}_{j}" for j in range(16))) for i in range(10)]
+    rows.append((300, rows[1][1].replace("mk1_3", "zz3", 1)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evalset = spark.createDataFrame(
+        [(-1, rows[2][1])], "doc_id long, text string"
+    )
+    res = curate_corpus(docs, evalset, min_tokens=5, dedup_threshold=0.5,
+                        near_dup_method="lsh", ngram=1, val_fraction=0.3)
+    assert res.funnel_dict()["near_dup_clusters"][1] == 10  # 300 dropped
+    assert res.funnel_dict()["decontaminate"][1] == 9       # doc 2 flagged
+    assert len(calls) == 2, f"expected corpus+eval signature aggs, got {len(calls)}"
     cachepool.release()

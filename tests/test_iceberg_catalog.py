@@ -30,7 +30,6 @@ from latex_ocr_spark.sources.tables import (
     synth_transcripts,
 )
 
-CATALOG = "icetest"
 IMPL = "org.apache.iceberg.spark.SparkCatalog"
 
 
@@ -49,14 +48,21 @@ def ice_catalog(spark):
             "iceberg-spark-runtime not on the classpath — seam covered "
             "by the built-in-catalog equivalence tests instead"
         )
+    # UNIQUE catalog name per test: Spark caches a catalog plugin
+    # instance after first use, so re-pointing an existing name's
+    # warehouse conf would be a silent no-op (the second test's tables
+    # would land in the first test's deleted warehouse)
+    import uuid
+
+    catalog = f"icetest_{uuid.uuid4().hex[:8]}"
     wh = tempfile.mkdtemp(prefix="ice_wh_")
-    spark.conf.set(f"spark.sql.catalog.{CATALOG}", IMPL)
-    spark.conf.set(f"spark.sql.catalog.{CATALOG}.type", "hadoop")
-    spark.conf.set(f"spark.sql.catalog.{CATALOG}.warehouse", wh)
-    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {CATALOG}.db")
-    yield CATALOG
-    spark.sql(f"DROP TABLE IF EXISTS {CATALOG}.db.transcripts")
-    spark.sql(f"DROP TABLE IF EXISTS {CATALOG}.db.badschema")
+    spark.conf.set(f"spark.sql.catalog.{catalog}", IMPL)
+    spark.conf.set(f"spark.sql.catalog.{catalog}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{catalog}.warehouse", wh)
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.db")
+    yield catalog
+    spark.sql(f"DROP TABLE IF EXISTS {catalog}.db.transcripts")
+    spark.sql(f"DROP TABLE IF EXISTS {catalog}.db.badschema")
     shutil.rmtree(wh, ignore_errors=True)
 
 

@@ -154,10 +154,12 @@ def test_packing_quarantines_negative_token_counts(spark):
     leaf) and not shrink a bin (the old linear scan silently placed
     negatives)."""
     docs = spark.createDataFrame(
-        [(0, 200), (1, -2), (2, 0), (3, 50)], "doc_id long, n_tokens long"
+        [(0, 200), (1, -2), (2, 0), (3, 50), (4, None)],
+        "doc_id long, n_tokens long",
     )
     rows = {r.doc_id: r for r in pack_sequences(docs, BUDGET).collect()}
     assert rows[1].pack_id is None and "negative token count" in rows[1].pack_error
+    assert rows[4].pack_id is None and "null token count" in rows[4].pack_error
     assert all(rows[i].pack_error is None for i in (0, 2, 3))
     # zero-token rows still pack (harmless, first-fit keeps them)
     assert rows[2].pack_id is not None
