@@ -261,6 +261,7 @@ def cluster_safe_split(
     val_fraction: float = 0.1,
     id_col: str = "doc_id",
     seed: str = "split-seed-1",
+    clusters_are_small: bool = True,
 ) -> DataFrame:
     """Train/val split that near-duplicates can never straddle.
 
@@ -272,9 +273,16 @@ def cluster_safe_split(
 
     ``clusters`` is (id, cluster_id) from ``dedup.duplicate_clusters``
     over whichever pair generator fits the corpus; it only contains
-    documents that HAVE a near-dup, so it is small relative to the
-    corpus and broadcasts — the corpus side takes a map-side join plus
-    the same md5-threshold expression as :func:`deterministic_split`.
+    documents that HAVE a near-dup.  With ``clusters_are_small`` (the
+    default — right for benchmark/test corpora and moderate dup rates)
+    the frame is broadcast-hinted, so the corpus side takes a map-side
+    join plus the same md5-threshold expression as
+    :func:`deterministic_split`.  Pass False for high-dup-rate corpora
+    at scale (a web crawl where 20-30% of documents sit in some dup
+    group makes this frame gigabytes; an explicit broadcast hint
+    OVERRIDES Spark's size checks and would OOM the executors) — the
+    join is then left to AQE, which still converts to broadcast at
+    runtime whenever the frame turns out small.
     """
     # internal column name so a docs frame that already carries a
     # cluster_id column can't make the reference ambiguous
@@ -285,7 +293,7 @@ def cluster_safe_split(
     canon = F.coalesce(F.col(canon_col), F.col(id_col)).cast("string")
     u = _split_unit(canon, seed)
     return (
-        docs.join(F.broadcast(cl), id_col, "left")
+        docs.join(F.broadcast(cl) if clusters_are_small else cl, id_col, "left")
         .withColumn(
             "split", F.when(u < val_fraction, F.lit("val")).otherwise(F.lit("train"))
         )

@@ -121,6 +121,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     collect_funnel: bool = True,
+    assume_small_side_frames: bool = True,
 ) -> CurationResult:
     """Run the full curation funnel; see module docstring.
 
@@ -132,6 +133,16 @@ def curate_corpus(
     ride the consumer's pass, so the funnel costs zero extra passes
     over the corpus (at 100 TB the dedicated count pass roughly doubles
     funnel cost; jobs/curate_job.py uses the deferred mode).
+
+    ``assume_small_side_frames``: True (default) broadcast-hints the
+    dropped-near-dup id set and the cluster table into their
+    anti-/split-joins — zero-shuffle probes, correct for benchmark and
+    moderate-dup corpora.  For a high-dup-rate corpus at scale (a web
+    crawl where 20-30% of documents sit in dup groups, making these
+    frames gigabytes) pass False: an explicit broadcast hint OVERRIDES
+    Spark's size checks and would OOM, while AQE still converts the
+    unhinted joins to broadcast at runtime whenever the frames turn
+    out small.
 
     Funnel counts are ``df.observe()`` metrics (accumulator-backed).
     In collected mode the final observed count is cross-checked against
@@ -264,8 +275,9 @@ def curate_corpus(
     non_canonical = near_clusters.filter(
         F.col("id") != F.col("cluster_id")
     ).select(F.col("id").alias(id_col))
+    _maybe_bcast = F.broadcast if assume_small_side_frames else (lambda df: df)
     obs_n = Observation()
-    cur4 = cur3.join(F.broadcast(non_canonical), id_col, "left_anti").observe(
+    cur4 = cur3.join(_maybe_bcast(non_canonical), id_col, "left_anti").observe(
         obs_n, _count("n")
     )
 
@@ -298,7 +310,7 @@ def curate_corpus(
     report = None
     cur5 = cur4
     if evalset is not None:
-        dropped = F.broadcast(non_canonical.withColumnRenamed(id_col, "id"))
+        dropped = _maybe_bcast(non_canonical.withColumnRenamed(id_col, "id"))
         sh4 = sh3.join(dropped, "id", "left_anti")
         sig4 = sig3.join(dropped, "id", "left_anti") if sig3 is not None else None
         report, cur5 = D.decontaminate(
@@ -321,7 +333,8 @@ def curate_corpus(
 
     # 6. cluster-safe split (near-dups hash by their cluster canonical)
     out = TS.cluster_safe_split(
-        cur5, clusters, val_fraction=val_fraction, id_col=id_col, seed=seed
+        cur5, clusters, val_fraction=val_fraction, id_col=id_col, seed=seed,
+        clusters_are_small=assume_small_side_frames,
     )
 
     def _build_funnel(n_final: Optional[int]) -> List[Tuple[str, int, int]]:

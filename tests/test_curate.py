@@ -413,3 +413,25 @@ def test_lsh_funnel_computes_signatures_exactly_once(spark, monkeypatch):
     assert res.funnel_dict()["decontaminate"][1] == 9       # doc 2 flagged
     assert len(calls) == 2, f"expected corpus+eval signature aggs, got {len(calls)}"
     cachepool.release()
+
+
+def test_funnel_without_broadcast_hints_is_equivalent(spark):
+    """assume_small_side_frames=False (the web-scale high-dup-rate
+    setting: no forced broadcasts, AQE decides) must produce identical
+    documents, funnel, and clusters — only join strategy may differ."""
+    docs = _fixture(spark)
+    evalset = spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    kw = dict(min_tokens=5, dedup_threshold=0.5, near_dup_method="jaccard",
+              ngram=1, val_fraction=0.3)
+    a = curate_corpus(docs, evalset, **kw)
+    a_docs = sorted(map(tuple, a.documents.collect()))
+    a_cl = sorted(map(tuple, a.clusters.collect()))
+    cachepool.release()
+    b = curate_corpus(docs, evalset, assume_small_side_frames=False, **kw)
+    assert b.funnel == a.funnel
+    assert sorted(map(tuple, b.documents.collect())) == a_docs
+    assert sorted(map(tuple, b.clusters.collect())) == a_cl
+    cachepool.release()
