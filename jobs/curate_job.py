@@ -53,6 +53,11 @@ def main() -> int:
                     help="deterministic down-sample after decontamination")
     ap.add_argument("--val-fraction", type=float, default=0.1)
     ap.add_argument("--seed", default="split-seed-1")
+    ap.add_argument("--high-dup-rate", action="store_true",
+                    help="web-scale high-dup corpora: skip the forced "
+                         "broadcasts of the dropped-id/cluster frames "
+                         "(AQE decides; avoids executor OOM when 20-30%% "
+                         "of docs sit in dup groups)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -105,6 +110,7 @@ def main() -> int:
         # deferred: the documents sink write below is the action that
         # resolves the funnel observations — no dedicated count pass
         collect_funnel=False,
+        assume_small_side_frames=not args.high_dup_rate,
     )
     res.documents.write.mode("overwrite").parquet(f"{args.output}/documents")
     res.resolve_funnel()
