@@ -67,11 +67,12 @@ def main() -> int:
 
     spark = get_spark("curate_job")
 
-    from latex_ocr_spark.sources.tables import looks_like_path
+    from latex_ocr_spark.sources.documents import read_documents
 
     def load_docs(source: str):
-        df = spark.read.parquet(source) if looks_like_path(source) else spark.read.table(source)
-        return df.select("doc_id", "text")
+        # parquet path, JSONL shards (.jsonl[.gz] — explicit schema, no
+        # inference pass), or catalog table identifier
+        return read_documents(spark, source)
 
     if args.synth is not None:
         if args.synth <= 0:

@@ -1,0 +1,128 @@
+"""The unified corpus reader: parquet / JSONL(.gz) / catalog through one
+path-or-identifier seam, explicit JSON schema (no inference pass), the
+PERMISSIVE malformed-line contract, and plan-time column validation."""
+
+import gzip
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import pytest
+from pyspark.sql import types as T
+
+from latex_ocr_spark.sources.documents import (
+    is_jsonl_path,
+    read_documents,
+)
+
+ROWS = [
+    {"doc_id": 1, "text": "alpha beta gamma", "extra": "dropped"},
+    {"doc_id": 2, "text": "delta epsilon"},
+    {"doc_id": 3, "text": None},
+]
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="docs_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_is_jsonl_path_suffixes():
+    assert is_jsonl_path("/data/shard-0001.jsonl")
+    assert is_jsonl_path("/data/dump.ndjson")
+    assert is_jsonl_path("s3a://bucket/crawl/part.jsonl.gz")
+    assert is_jsonl_path("/data/x.json")
+    assert not is_jsonl_path("/data/docs.parquet")
+    assert not is_jsonl_path("lake.db.documents")
+
+
+def test_read_documents_jsonl_plain_and_gzip(spark, tmpdir):
+    plain = os.path.join(tmpdir, "a.jsonl")
+    with open(plain, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    gz = os.path.join(tmpdir, "b.jsonl.gz")
+    with gzip.open(gz, "wt") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+
+    for src in (plain, gz):
+        df = read_documents(spark, src)
+        assert df.columns == ["doc_id", "text"]  # 'extra' pruned at parse
+        got = {r.doc_id: r.text for r in df.collect()}
+        assert got == {1: "alpha beta gamma", 2: "delta epsilon", 3: None}
+
+
+def test_read_documents_jsonl_uses_explicit_schema_no_inference(spark, tmpdir):
+    """The scale contract: the JSON relation carries OUR schema, so no
+    inference pass runs (at corpus scale inference is a second full
+    scan before the job starts).  An empty directory-less file still
+    plans with the right schema — inference would have failed it."""
+    p = os.path.join(tmpdir, "empty.jsonl")
+    open(p, "w").close()
+    df = read_documents(spark, p)
+    assert [f.name for f in df.schema.fields] == ["doc_id", "text"]
+    assert isinstance(df.schema["doc_id"].dataType, T.LongType)
+    assert df.count() == 0
+
+
+def test_read_documents_permissive_and_corrupt_record(spark, tmpdir):
+    p = os.path.join(tmpdir, "bad.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps(ROWS[0]) + "\n")
+        f.write("{not json at all\n")
+    # PERMISSIVE: malformed line survives as NULLs (quality gate later
+    # drops it); with keep_corrupt_record the raw line is retained
+    df = read_documents(spark, p, keep_corrupt_record=True)
+    rows = df.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r.doc_id is None]
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{not json")
+    # FAILFAST aborts instead
+    with pytest.raises(Exception):
+        read_documents(spark, p, mode="FAILFAST").collect()
+
+
+def test_read_documents_string_ids_and_validation(spark, tmpdir):
+    p = os.path.join(tmpdir, "sids.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"doc_id": "doc-a", "text": "one two"}) + "\n")
+    df = read_documents(spark, p, id_type=T.StringType())
+    assert df.collect()[0].doc_id == "doc-a"
+
+    # parquet path + catalog-style validation errors
+    docs = read_documents(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert docs.columns == ["doc_id", "text"] and docs.count() == 500
+    with pytest.raises(ValueError, match="lacks required columns"):
+        read_documents(
+            spark, "/root/testdata/sf0.001/region.parquet"
+        )
+
+
+def test_curate_job_accepts_jsonl_input(spark, tmpdir):
+    """End-to-end: the production CLI curates a JSONL corpus."""
+    import subprocess
+    import sys as _sys
+
+    p = os.path.join(tmpdir, "corpus.jsonl")
+    with open(p, "w") as f:
+        for i in range(30):
+            f.write(json.dumps(
+                {"doc_id": i, "text": f"ja{i} jb{i*3} jc{i*7} jd{i*11} je{i*13}"}
+            ) + "\n")
+    out = os.path.join(tmpdir, "out")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/jobs/curate_job.py",
+         "--input", p, "--output", out, "--min-tokens", "3"],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    funnel = json.loads(r.stdout.strip().splitlines()[-1])
+    assert funnel["split"]["out"] == 30
