@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="documents source: parquet path or catalog table")
+    ap.add_argument("--input", help="documents source: parquet path, JSONL "
+                    "shards, or catalog table")
+    ap.add_argument("--input-format", choices=("jsonl", "parquet", "table"),
+                    help="override source auto-detection (a DIRECTORY of "
+                         "JSONL shards has no suffix to sniff)")
     ap.add_argument("--synth", type=int, help="synthesize N documents instead")
     ap.add_argument("--evalset", help="benchmark/eval documents (same shapes)")
     ap.add_argument("--output", required=True)
@@ -72,7 +76,7 @@ def main() -> int:
     def load_docs(source: str):
         # parquet path, JSONL shards (.jsonl[.gz] — explicit schema, no
         # inference pass), or catalog table identifier
-        return read_documents(spark, source)
+        return read_documents(spark, source, source_format=args.input_format)
 
     if args.synth is not None:
         if args.synth <= 0:

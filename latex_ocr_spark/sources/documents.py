@@ -65,10 +65,16 @@ def read_documents(
     id_type: T.DataType = None,
     mode: str = "PERMISSIVE",
     keep_corrupt_record: bool = False,
+    source_format: str = None,
 ) -> DataFrame:
     """Read a corpus from a parquet path, JSONL path, or catalog table
     identifier; returns (id_col, text_col) [+ ``_corrupt_record``],
     schema validated at plan time.
+
+    ``source_format``: 'jsonl' | 'parquet' | 'table', or None to
+    auto-detect (path-vs-identifier heuristic + filename suffix).  A
+    DIRECTORY of JSONL shards has no suffix to sniff — pass
+    ``source_format='jsonl'`` there.
 
     ``mode`` applies to JSONL parsing only ('PERMISSIVE' default,
     'FAILFAST' to abort on the first malformed line);
@@ -76,7 +82,16 @@ def read_documents(
     line of malformed records in a ``_corrupt_record`` column so a
     quarantine sink can keep them.
     """
-    if looks_like_path(source) and is_jsonl_path(source):
+    if source_format not in (None, "jsonl", "parquet", "table"):
+        raise ValueError(f"unknown source_format {source_format!r}")
+    if source_format is None:
+        if not looks_like_path(source):
+            source_format = "table"
+        elif is_jsonl_path(source):
+            source_format = "jsonl"
+        else:
+            source_format = "parquet"
+    if source_format == "jsonl":
         schema = documents_schema(id_col, text_col, id_type)
         if keep_corrupt_record:
             schema = schema.add(T.StructField("_corrupt_record", T.StringType(), True))
@@ -84,7 +99,7 @@ def read_documents(
         if keep_corrupt_record:
             reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
         df = reader.json(source)
-    elif looks_like_path(source):
+    elif source_format == "parquet":
         df = spark.read.parquet(source)
     else:
         df = spark.read.table(source)

@@ -126,3 +126,23 @@ def test_curate_job_accepts_jsonl_input(spark, tmpdir):
     assert r.returncode == 0, r.stderr[-2000:]
     funnel = json.loads(r.stdout.strip().splitlines()[-1])
     assert funnel["split"]["out"] == 30
+
+
+def test_read_documents_format_override_for_shard_directories(spark, tmpdir):
+    """A DIRECTORY of JSONL shards has no suffix to sniff — the
+    explicit source_format override reads it correctly (auto-detect
+    would have tried parquet and failed)."""
+    shard_dir = os.path.join(tmpdir, "shards")
+    os.makedirs(shard_dir)
+    for s in range(3):
+        with open(os.path.join(shard_dir, f"part-{s:04d}.txt"), "w") as f:
+            for i in range(10):
+                f.write(json.dumps(
+                    {"doc_id": s * 100 + i, "text": f"sh{s} d{i}"}
+                ) + "\n")
+    df = read_documents(spark, shard_dir, source_format="jsonl")
+    assert df.count() == 30
+    assert df.columns == ["doc_id", "text"]
+
+    with pytest.raises(ValueError, match="unknown source_format"):
+        read_documents(spark, shard_dir, source_format="csv")
