@@ -34,8 +34,19 @@ def main() -> int:
     ap.add_argument("--input", help="documents source: parquet path, JSONL "
                     "shards, or catalog table")
     ap.add_argument("--input-format", choices=("jsonl", "parquet", "table"),
-                    help="override source auto-detection (a DIRECTORY of "
+                    help="override --input auto-detection (a DIRECTORY of "
                          "JSONL shards has no suffix to sniff)")
+    ap.add_argument("--evalset-format", choices=("jsonl", "parquet", "table"),
+                    help="override --evalset auto-detection (kept separate "
+                         "from --input-format: a mixed-format run must not "
+                         "parse the eval parquet as JSON)")
+    ap.add_argument("--string-ids", action="store_true",
+                    help="JSONL doc_id values are strings (the default long "
+                         "schema would PERMISSIVE-null string ids and "
+                         "silently empty the corpus)")
+    ap.add_argument("--failfast", action="store_true",
+                    help="abort on the first malformed JSONL line instead "
+                         "of the PERMISSIVE null-row contract")
     ap.add_argument("--synth", type=int, help="synthesize N documents instead")
     ap.add_argument("--evalset", help="benchmark/eval documents (same shapes)")
     ap.add_argument("--output", required=True)
@@ -73,10 +84,16 @@ def main() -> int:
 
     from latex_ocr_spark.sources.documents import read_documents
 
-    def load_docs(source: str):
+    from pyspark.sql import types as T
+
+    def load_docs(source: str, source_format: str):
         # parquet path, JSONL shards (.jsonl[.gz] — explicit schema, no
         # inference pass), or catalog table identifier
-        return read_documents(spark, source, source_format=args.input_format)
+        return read_documents(
+            spark, source, source_format=source_format,
+            id_type=T.StringType() if args.string_ids else None,
+            mode="FAILFAST" if args.failfast else "PERMISSIVE",
+        )
 
     if args.synth is not None:
         if args.synth <= 0:
@@ -92,11 +109,13 @@ def main() -> int:
             ).alias("text"),
         )
     elif args.input:
-        docs = load_docs(args.input)
+        docs = load_docs(args.input, args.input_format)
     else:
         ap.error("one of --input/--synth is required")
 
-    evalset = load_docs(args.evalset) if args.evalset else None
+    evalset = (
+        load_docs(args.evalset, args.evalset_format) if args.evalset else None
+    )
     res = curate_corpus(
         docs, evalset,
         min_tokens=args.min_tokens,
@@ -123,6 +142,17 @@ def main() -> int:
         res.contamination_report.write.mode("overwrite").parquet(f"{args.output}/report")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     funnel = {s: {"in": i, "out": o} for s, i, o in res.funnel}
+    if funnel["split"]["out"] == 0 and funnel["quality_gates"]["in"] > 0:
+        # a non-empty input curated down to NOTHING is almost always a
+        # mis-read corpus (wrong id type / wrong format parsing every
+        # row to NULL), not a real curation outcome — say so loudly
+        print(
+            "WARNING: 0 documents survived the funnel from "
+            f"{funnel['quality_gates']['in']} inputs — check --input-format/"
+            "--string-ids (a mis-typed JSONL schema NULLs every id under "
+            "PERMISSIVE parsing)",
+            file=sys.stderr,
+        )
     # write through Spark so object-store outputs (s3://…) work — a
     # driver-local open() would silently strand the funnel on the node
     spark.createDataFrame([(json.dumps(funnel),)], "funnel string").coalesce(

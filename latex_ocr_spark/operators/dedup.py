@@ -570,6 +570,7 @@ def decontaminate(
     _corpus_shingles: DataFrame | None = None,
     _corpus_signatures: DataFrame | None = None,
     evalset_is_small: bool = True,
+    contaminated_is_small: bool = True,
 ):
     """Benchmark decontamination: find (and enable dropping of) corpus
     documents that near-duplicate an eval/benchmark document — the
@@ -652,8 +653,16 @@ def decontaminate(
         )
     )  # consuming report AND cleaned must not re-run the LSH+verify chain
     contaminated = report.select(F.col("corpus_id").alias(id_col)).distinct()
-    # contaminated ids are bounded by the (small) eval set's match
-    # fan-out — broadcast, so cleaning the corpus is a map-side
-    # anti-join with zero corpus shuffle
-    cleaned = corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    # contaminated ids are usually bounded by the (small) eval set's
+    # match fan-out — broadcast, so cleaning the corpus is a map-side
+    # anti-join with zero corpus shuffle.  ``contaminated_is_small=
+    # False`` drops the hint for the case where boilerplate overlaps a
+    # broad eval suite and the matched set grows corpus-proportional
+    # (a forced broadcast overrides Spark's size checks and OOMs); AQE
+    # still broadcasts at runtime when the set turns out small.
+    cleaned = corpus.join(
+        F.broadcast(contaminated) if contaminated_is_small else contaminated,
+        id_col,
+        "left_anti",
+    )
     return report, cleaned

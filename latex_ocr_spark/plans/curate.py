@@ -207,10 +207,21 @@ def curate_corpus(
     # old profile-then-semi-join formulation cost an id shuffle AND
     # nullified string ids through the profile's id cast)
     obs_q = Observation()
-    cur2 = TS.quality_gate(
-        cur, min_tokens=min_tokens, max_punct_ratio=max_punct_ratio,
-        text_col=text_col,
-    ).observe(obs_q, _count("n"))
+    cur2 = (
+        TS.quality_gate(
+            cur, min_tokens=min_tokens, max_punct_ratio=max_punct_ratio,
+            text_col=text_col,
+        )
+        # a row without an id cannot be deduplicated, decontaminated or
+        # split — drop it HERE, counted, rather than letting the exact-
+        # dedup join's implicit isNotNull filter swallow it.  (That
+        # implicit filter would also be PUSHED DOWN below the observe
+        # nodes, silently skewing every upstream funnel count for
+        # NULL-id corpora — observed metrics count what flows through
+        # the node's post-pushdown position.)
+        .filter(F.col(id_col).isNotNull())
+        .observe(obs_q, _count("n"))
+    )
 
     # 2. exact dedup — keep the canonical (min id) of each text group;
     # remember every >1-group's membership so exact duplicates get
@@ -319,6 +330,7 @@ def curate_corpus(
             ngram=ngram, text_col=text_col, id_col=id_col,
             max_bucket_size=max_bucket_size, _corpus_shingles=sh4,
             _corpus_signatures=sig4,
+            contaminated_is_small=assume_small_side_frames,
         )
         obs_d = Observation()
         cur5 = cur5.observe(obs_d, _count("n"))
@@ -338,20 +350,43 @@ def curate_corpus(
     )
 
     def _build_funnel(n_final: Optional[int]) -> List[Tuple[str, int, int]]:
-        def _n(obs: Observation) -> int:
-            return int(obs.get["n"])
+        def _n(obs: Observation, frame: DataFrame) -> int:
+            try:
+                return int(obs.get["n"])
+            except Exception:
+                # a degenerate pipeline (e.g. every id NULL) can empty
+                # a broadcast join side at runtime; AQE then skips the
+                # whole probe branch, the CollectMetrics nodes on it
+                # never execute, and their observations complete with
+                # schema-less empty rows that pyspark's Observation.get
+                # cannot convert (toPyRow asserts).  Read the JVM map
+                # directly; when the metric is genuinely absent (node
+                # skipped), count the frame itself — an extra action
+                # only on this degenerate path, where the spine is
+                # near-empty and cheap, and the funnel MUST still
+                # report true stage counts (the zero-survivors warning
+                # keys off them).
+                try:
+                    m = obs._jo.getAsJava()
+                    if m.containsKey("n"):
+                        return int(m.get("n"))
+                except Exception:
+                    pass
+                return frame.count()
 
-        n, n2, n3, n4 = _n(obs_in), _n(obs_q), _n(obs_e), _n(obs_n)
+        n, n2, n3, n4 = (
+            _n(obs_in, cur), _n(obs_q, cur2), _n(obs_e, cur3), _n(obs_n, cur4)
+        )
         funnel: List[Tuple[str, int, int]] = []
         if redact:
             funnel.append(("redact", n, n))
         funnel.append(("quality_gates", n, n2))
         funnel.append(("exact_dedup", n2, n3))
         funnel.append(("near_dup_clusters", n3, n4))
-        n5 = _n(obs_d) if obs_d is not None else n4
+        n5 = _n(obs_d, cur5) if obs_d is not None else n4
         funnel.append(("decontaminate", n4, n5))
         if obs_s is not None:
-            n5b = _n(obs_s)
+            n5b = _n(obs_s, cur5)
             funnel.append(("sample", n5, n5b))
             n5 = n5b
         if n_final is not None and n_final != n5:

@@ -29,8 +29,12 @@ from pyspark.sql import types as T
 
 from latex_ocr_spark.sources.tables import looks_like_path
 
-#: suffixes (before optional compression extension) read as JSON-lines
-_JSONL_SUFFIXES = (".jsonl", ".ndjson", ".json")
+#: suffixes (before optional compression extension) read as JSON-lines.
+#: Bare ``.json`` is deliberately NOT auto-detected: the most common
+#: .json layout is a single pretty-printed object/array, and parsing it
+#: line-wise under PERMISSIVE silently yields all-NULL rows — a
+#: line-delimited .json file is read by passing source_format='jsonl'.
+_JSONL_SUFFIXES = (".jsonl", ".ndjson")
 _COMPRESSION_SUFFIXES = ("", ".gz", ".bz2", ".zst", ".deflate")
 
 
@@ -85,12 +89,15 @@ def read_documents(
     if source_format not in (None, "jsonl", "parquet", "table"):
         raise ValueError(f"unknown source_format {source_format!r}")
     if source_format is None:
-        if not looks_like_path(source):
-            source_format = "table"
-        elif is_jsonl_path(source):
+        # jsonl suffix first: a bare relative shard name ('part.jsonl.gz'
+        # living on the cluster FS, not the driver's) fails every
+        # looks_like_path probe and would misroute to a table lookup
+        if is_jsonl_path(source):
             source_format = "jsonl"
-        else:
+        elif looks_like_path(source):
             source_format = "parquet"
+        else:
+            source_format = "table"
     if source_format == "jsonl":
         schema = documents_schema(id_col, text_col, id_type)
         if keep_corrupt_record:

@@ -435,3 +435,32 @@ def test_funnel_without_broadcast_hints_is_equivalent(spark):
     assert sorted(map(tuple, b.documents.collect())) == a_docs
     assert sorted(map(tuple, b.clusters.collect())) == a_cl
     cachepool.release()
+
+
+def test_funnel_survives_runtime_empty_spine(spark):
+    """A corpus whose every id is NULL empties the spine at the exact-
+    dedup semi-join; AQE's empty-relation propagation then eliminates
+    downstream CollectMetrics nodes and their observations complete
+    with schema-less empty rows.  The funnel must report the zeros,
+    not crash in Observation.get (both funnel modes)."""
+    docs = spark.createDataFrame(
+        [(None, f"na{i} nb{i*3} nc{i*7} nd{i*11}") for i in range(15)],
+        "doc_id long, text string",
+    )
+    res = curate_corpus(docs, min_tokens=3, val_fraction=0.2)
+    f = res.funnel_dict()
+    # NULL-id rows are dropped EXPLICITLY at the quality gate (they
+    # cannot be deduped/split; leaving them to the dedup join's
+    # implicit null filter would also push below the observe nodes and
+    # skew every upstream count)
+    assert f["quality_gates"] == (15, 0)
+    assert f["exact_dedup"] == (0, 0)
+    assert f["split"] == (0, 0)
+    cachepool.release()
+
+    res2 = curate_corpus(docs, min_tokens=3, val_fraction=0.2,
+                         collect_funnel=False)
+    assert res2.documents.count() == 0
+    f2 = {s: (i, o) for s, i, o in res2.resolve_funnel()}
+    assert f2["quality_gates"] == (15, 0) and f2["split"] == (0, 0)
+    cachepool.release()

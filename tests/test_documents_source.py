@@ -38,9 +38,15 @@ def test_is_jsonl_path_suffixes():
     assert is_jsonl_path("/data/shard-0001.jsonl")
     assert is_jsonl_path("/data/dump.ndjson")
     assert is_jsonl_path("s3a://bucket/crawl/part.jsonl.gz")
-    assert is_jsonl_path("/data/x.json")
+    # bare .json is deliberately NOT sniffed as line-delimited: the
+    # common pretty-printed/array layout would PERMISSIVE-degrade to
+    # all-NULL rows; pass source_format='jsonl' explicitly
+    assert not is_jsonl_path("/data/x.json")
     assert not is_jsonl_path("/data/docs.parquet")
     assert not is_jsonl_path("lake.db.documents")
+    # a bare relative shard name (cluster-FS file, absent on the
+    # driver) still routes to the jsonl reader, not a table lookup
+    assert is_jsonl_path("corpus.jsonl.gz")
 
 
 def test_read_documents_jsonl_plain_and_gzip(spark, tmpdir):
@@ -146,3 +152,51 @@ def test_read_documents_format_override_for_shard_directories(spark, tmpdir):
 
     with pytest.raises(ValueError, match="unknown source_format"):
         read_documents(spark, shard_dir, source_format="csv")
+
+
+def test_curate_job_mixed_formats_and_string_ids(spark, tmpdir):
+    """--input-format applies to --input only (a mixed-format run must
+    not parse the eval parquet as JSON), and --string-ids makes a
+    string-keyed JSONL corpus curate correctly instead of silently
+    emptying under the long-typed PERMISSIVE schema."""
+    import subprocess
+    import sys as _sys
+
+    shard_dir = os.path.join(tmpdir, "shards")
+    os.makedirs(shard_dir)
+    with open(os.path.join(shard_dir, "part-0000"), "w") as f:
+        for i in range(20):
+            f.write(json.dumps(
+                {"doc_id": f"d-{i:03d}", "text": f"ma{i} mb{i*3} mc{i*7} md{i*11}"}
+            ) + "\n")
+        f.write(json.dumps(
+            {"doc_id": "d-evl", "text": "alpha beta gamma delta epsilon"}
+        ) + "\n")
+    ev = os.path.join(tmpdir, "eval.parquet")
+    spark.createDataFrame(
+        [("e-0", "alpha beta gamma delta epsilon")], "doc_id string, text string"
+    ).write.parquet(ev)
+
+    out = os.path.join(tmpdir, "out")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/jobs/curate_job.py",
+         "--input", shard_dir, "--input-format", "jsonl", "--string-ids",
+         "--evalset", ev, "--output", out, "--min-tokens", "3"],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    funnel = json.loads(r.stdout.strip().splitlines()[-1])
+    assert funnel["decontaminate"] == {"in": 21, "out": 20}  # d-evl dropped
+    assert funnel["split"]["out"] == 20
+    assert "WARNING: 0 documents survived" not in r.stderr
+
+    # without --string-ids the same corpus silently empties — the job
+    # now says so loudly on stderr
+    r2 = subprocess.run(
+        [_sys.executable, "/root/repo/jobs/curate_job.py",
+         "--input", shard_dir, "--input-format", "jsonl",
+         "--output", os.path.join(tmpdir, "out2"), "--min-tokens", "3"],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert r2.returncode == 0
+    assert "WARNING: 0 documents survived" in r2.stderr
