@@ -142,18 +142,32 @@ def tf_idf(
     feeds both the join and the df aggregation — the scan+explode, the
     dominant cost, runs exactly once.  The persist is owned by the
     query boundary (cachepool.track → released before the next query).
-    N rides along as a broadcast scalar (a count, not a collect of
-    rows)."""
-    n_docs = docs.count()
+
+    N is derived from the persisted tf frame too (``explode_outer``
+    keeps a NULL-token row for zero-token documents, so
+    ``count_distinct(id)`` over tf counts EVERY input document) and
+    rides into the plan as a broadcast 1-row cross join.  The old
+    dedicated ``docs.count()`` action was a second full corpus scan
+    per call — real money at 100 TB; building this frame now launches
+    no Spark job at all."""
     toks = _tokens(text_col)
-    exploded = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
+    )
     tf = cachepool.track(exploded.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_frame = tf.agg(F.count_distinct("id").alias("_n_docs"))
+    # the NULL-token placeholder rows exist only so N sees empty docs;
+    # they are not terms and must not reach df or the output
+    tf_terms = tf.filter(F.col("tok").isNotNull())
+    df = tf_terms.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tf.join(df, "tok")
+        tf_terms.join(df, "tok")
+        .crossJoin(F.broadcast(n_frame))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs").cast("double") / F.col("df")), 4
+            ),
         )
         .select("id", "tok", "tf", "df", "tfidf")
     )

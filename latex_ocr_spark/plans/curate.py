@@ -63,23 +63,38 @@ class CurationResult:
     contamination_report: Optional[DataFrame] = None
     clusters: Optional[DataFrame] = None
     #: set when curate_corpus ran with collect_funnel=False: call
-    #: resolve_funnel() AFTER your own action on ``documents``
-    _funnel_resolver: Optional[Callable[[], List[Tuple[str, int, int]]]] = field(
-        default=None, repr=False
-    )
+    #: resolve_funnel() AFTER your own FULL action on ``documents``
+    #: (takes the optional exact final count for the anomaly check)
+    _funnel_resolver: Optional[
+        Callable[[Optional[int]], List[Tuple[str, int, int]]]
+    ] = field(default=None, repr=False)
 
     def funnel_dict(self) -> Dict[str, Tuple[int, int]]:
         return {s: (i, o) for s, i, o in self.funnel}
 
-    def resolve_funnel(self) -> List[Tuple[str, int, int]]:
-        """Populate ``funnel`` in deferred mode (collect_funnel=False):
-        the observation metrics ride the CALLER's first action over
-        ``documents`` (a sink write, a count — anything), so the funnel
-        costs zero extra passes.  Call this after that action; calling
-        it before one BLOCKS until an action runs.  No-op when the
-        funnel was already collected."""
+    def resolve_funnel(self, verify: bool = False) -> List[Tuple[str, int, int]]:
+        """Populate ``funnel`` in deferred mode (collect_funnel=False).
+
+        CONTRACT: the resolving action must be a FULL pass over
+        ``documents`` — a sink write or a ``count()``.  A partial
+        action (``take``/``show``/``limit``-then-collect)
+        short-circuits the scan, so every observation captures only
+        the rows the partial action happened to pull and the funnel
+        silently reports partial counts.  Call this after that full
+        action; calling it before any action BLOCKS until one runs.
+        No-op when the funnel was already collected.
+
+        ``verify=True`` additionally runs one exact ``count()`` over
+        ``documents`` and cross-checks it against the last observed
+        stage count, raising on mismatch — the same metrics-anomaly
+        guard collected mode always applies (it catches both a
+        partial resolving action and a double-applied CollectMetrics
+        subtree under stage re-execution), at the price of one extra
+        pipeline pass.  In-repo callers (jobs, bench) write the full
+        frame, so they keep the zero-extra-pass default."""
         if self._funnel_resolver is not None:
-            self.funnel = self._funnel_resolver()
+            n_final = self.documents.count() if verify else None
+            self.funnel = self._funnel_resolver(n_final)
             self._funnel_resolver = None
         return self.funnel
 
@@ -127,9 +142,11 @@ def curate_corpus(
 
     ``collect_funnel``: True (default) runs one count action over the
     final frame so ``CurationResult.funnel`` is populated on return.  A
-    consumer that will immediately run its own action (write the
-    documents to a sink) should pass False and call
-    ``resolve_funnel()`` AFTER that action — the observation metrics
+    consumer that will immediately run its own FULL action (write the
+    documents to a sink, count them — not take/show/limit, which
+    would capture partial counts; see ``resolve_funnel``) should pass
+    False and call ``resolve_funnel()`` AFTER that action — the
+    observation metrics
     ride the consumer's pass, so the funnel costs zero extra passes
     over the corpus (at 100 TB the dedicated count pass roughly doubles
     funnel cost; jobs/curate_job.py uses the deferred mode).
@@ -320,6 +337,11 @@ def curate_corpus(
     obs_d = None
     report = None
     cur5 = cur4
+    cur5_decon = cur4  # the decontaminate-stage output frame, pinned
+    # BEFORE optional sampling: the degenerate-path fallback in
+    # _build_funnel counts this frame when obs_d's metric is absent,
+    # and counting the post-sample frame there would report the
+    # sampled count as the decontaminate stage's 'out'
     if evalset is not None:
         dropped = _maybe_bcast(non_canonical.withColumnRenamed(id_col, "id"))
         sh4 = sh3.join(dropped, "id", "left_anti")
@@ -334,6 +356,7 @@ def curate_corpus(
         )
         obs_d = Observation()
         cur5 = cur5.observe(obs_d, _count("n"))
+        cur5_decon = cur5
 
     # 5b. optional down-sample (deterministic, subset-stable)
     obs_s = None
@@ -383,7 +406,7 @@ def curate_corpus(
         funnel.append(("quality_gates", n, n2))
         funnel.append(("exact_dedup", n2, n3))
         funnel.append(("near_dup_clusters", n3, n4))
-        n5 = _n(obs_d, cur5) if obs_d is not None else n4
+        n5 = _n(obs_d, cur5_decon) if obs_d is not None else n4
         funnel.append(("decontaminate", n4, n5))
         if obs_s is not None:
             n5b = _n(obs_s, cur5)
@@ -414,9 +437,12 @@ def curate_corpus(
         resolver = None
     else:
         # deferred mode: the caller's own sink action resolves the
-        # observations — the funnel costs zero extra pipeline passes
+        # observations — the funnel costs zero extra pipeline passes.
+        # The resolving action MUST be a full pass (resolve_funnel
+        # docstring); resolve_funnel(verify=True) buys the exact-count
+        # cross-check back for one extra pass
         funnel = []
-        resolver = lambda: _build_funnel(None)  # noqa: E731
+        resolver = _build_funnel
 
     return CurationResult(
         documents=out,

@@ -464,3 +464,24 @@ def test_funnel_survives_runtime_empty_spine(spark):
     f2 = {s: (i, o) for s, i, o in res2.resolve_funnel()}
     assert f2["quality_gates"] == (15, 0) and f2["split"] == (0, 0)
     cachepool.release()
+
+
+def test_deferred_resolve_with_verify_cross_checks_final_count(spark):
+    """resolve_funnel(verify=True) buys back collected mode's
+    metrics-anomaly cross-check (one extra exact count pass): after a
+    full resolving action it returns the same funnel as the free
+    default, and the verifying count comes from the documents frame
+    itself so a healthy run can never trip it."""
+    docs = _fixture(spark)
+    kw = dict(min_tokens=5, max_punct_ratio=0.3, dedup_threshold=0.5,
+              near_dup_method="jaccard", ngram=1, val_fraction=0.3)
+
+    res_free = curate_corpus(docs, collect_funnel=False, **kw)
+    res_free.documents.write.format("noop").mode("overwrite").save()
+    free = res_free.resolve_funnel()
+    cachepool.release()
+
+    res = curate_corpus(docs, collect_funnel=False, **kw)
+    res.documents.write.format("noop").mode("overwrite").save()
+    assert res.resolve_funnel(verify=True) == free
+    cachepool.release()

@@ -211,3 +211,49 @@ def test_quality_gate_matches_text_profile_thresholds(spark, sf_small):
     assert {r["doc_id"] for r in TS.quality_gate(sdocs, 3, 0.3).collect()} == {"doc-a"}
     assert {r["id"] for r in TS.text_profile(sdocs).collect()} == {"doc-a", "doc-b"}
     assert {r["id"] for r in TS.lang_id_pandas(sdocs).collect()} == {"doc-a", "doc-b"}
+
+
+def test_tf_idf_builds_lazily_and_counts_empty_docs_in_n(spark):
+    """Round-5 verdict item: tf_idf must not pay a dedicated corpus
+    scan for N.  Pin (a) construction launches NO action (the old
+    ``docs.count()`` made every tf_idf call scan the corpus twice) and
+    (b) N still counts zero-token documents — explode_outer keeps a
+    NULL-token placeholder row per empty doc, so the N derived from
+    the tf frame equals the old full-corpus count exactly."""
+    import math
+
+    import pyspark.sql
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+
+    real_count = pyspark.sql.DataFrame.count
+
+    def forbidden(self):
+        raise AssertionError("tf_idf construction ran a count() action")
+
+    pyspark.sql.DataFrame.count = forbidden
+    try:
+        out = TS.tf_idf(docs)  # must be purely lazy
+    finally:
+        pyspark.sql.DataFrame.count = real_count
+
+    rows = {(r["id"], r["tok"]): r for r in out.collect()}
+    # N = 4 (two token-bearing docs + one whitespace-only + one NULL
+    # text), not 2 — the idf denominator the old docs.count() produced
+    assert rows[(0, "a")]["tf"] == 2 and rows[(0, "a")]["df"] == 1
+    assert rows[(0, "a")]["tfidf"] == pytest.approx(
+        round(2 * math.log(4 / 1), 4)
+    )
+    assert rows[(1, "c")]["tfidf"] == pytest.approx(round(math.log(4 / 1), 4))
+    # shared token b: df=2
+    assert rows[(0, "b")]["df"] == 2 == rows[(1, "b")]["df"]
+    # placeholder rows never leak into the output
+    assert all(tok is not None for _id, tok in rows)
+    assert {i for i, _t in rows} == {0, 1}
+    from latex_ocr_spark import cachepool
+
+    cachepool.release()
