@@ -181,6 +181,127 @@ def diff_plan_cost(prev: dict, cur: dict, allow: dict | None = None) -> list:
     return out
 
 
+# ---------------------------------------------------------------------------
+# cross-scale validation: every "work ∝ collisions / no-op at corpus scale"
+# argument for the LSH family is only evidence if shuffle bytes actually
+# grow ~linearly in corpus size.  The bench synthesizes a deterministic
+# 10× documents table (each replica re-keyed AND vocabulary-suffixed so
+# replicas share no shingles — 10 independent copies of the same collision
+# structure, the shape of a 10× web corpus) and re-runs the dedup family
+# on it: shuffle-bytes growth beyond factor × slack = a hidden quadratic.
+# ---------------------------------------------------------------------------
+
+CROSS_SF_FACTOR = int(os.environ.get("SPARK_GRAFT_CROSS_SF_FACTOR", "10"))
+CROSS_SF_QUERIES = [
+    "dedup_exact", "dedup_simhash", "dedup_lsh_jaccard", "dedup_decontaminate",
+]
+#: query name -> reason, for intentional super-linear growth
+CROSS_SF_ALLOW: dict[str, str] = {}
+_CROSS_SF_SLACK = 1.3  # growth ratio beyond factor × this flags
+
+
+def _ensure_cross_sf_docs(spark, sf_dir: str, factor: int) -> str:
+    """Materialize the deterministic ``factor``× documents table (cached
+    in /tmp).  Replica 0 is sf_dir's table verbatim (so the planted
+    negative-id eval set still matches exactly 3 docs); replica r>0
+    re-keys ids by +r*10^7 and suffixes every token with the replica
+    number, so no shingle crosses replicas and collision structure
+    scales by construction linearly — the property the growth gate
+    then verifies the ENGINE preserves."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/bench_documents_x{factor}_{os.path.basename(sf_dir.rstrip('/'))}"
+    table = os.path.join(out, "documents.parquet")
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return out
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    reps = spark.range(factor).select(F.col("id").alias("_rep"))
+    big = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"), r"(\S+)",
+                    F.concat(F.lit("$1x"), F.col("_rep").cast("string")),
+                )
+            )
+            .alias("text"),
+            "lang", "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    big.repartition(32).write.mode("overwrite").parquet(table)
+    return out
+
+
+def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
+    """Run the dedup family + funnel at ``CROSS_SF_FACTOR``× the bench
+    sf and gate shuffle-bytes growth at ~linear (see module comment).
+    ``base_cost`` is this same invocation's per-query plan cost at 1×,
+    so the check is self-contained — no cross-round artifact needed."""
+    from latex_ocr_spark import cachepool
+    from latex_ocr_spark.plans.registry import QUERIES
+
+    # the registry queries load <sf_dir>/documents.parquet — the
+    # synthetic 10× directory plays the sf_dir role directly
+    big_dir = _ensure_cross_sf_docs(spark, sf_dir, CROSS_SF_FACTOR)
+    queries = {}
+    regressions = []
+    for name in CROSS_SF_QUERIES:
+        cachepool.release()
+        marker = _exec_marker(spark)
+        t0 = time.time()
+        _noop_write(QUERIES[name](spark, big_dir))
+        sec = round(time.time() - t0, 3)
+        cost = _plan_cost(spark, marker)
+        entry = {"sec": sec, "plan_cost": cost}
+        base = base_cost.get(name, {}).get("shuffle_bytes", 0)
+        if base > 0:
+            growth = cost["shuffle_bytes"] / base
+            entry["bytes_growth"] = round(growth, 2)
+            if (
+                name not in CROSS_SF_ALLOW
+                and cost["shuffle_bytes"] > (1 << 20)
+                and growth > CROSS_SF_FACTOR * _CROSS_SF_SLACK
+            ):
+                regressions.append(
+                    {"query": name, "metric": "shuffle_bytes_growth",
+                     "factor": CROSS_SF_FACTOR, "growth": round(growth, 2)}
+                )
+        queries[name] = entry
+    cachepool.release()
+
+    marker = _exec_marker(spark)
+    t0 = time.time()
+    funnel = run_curate_funnel(spark, big_dir)
+    sec = round(time.time() - t0, 3)
+    queries["curate_funnel"] = {
+        "sec": sec, "plan_cost": _plan_cost(spark, marker),
+        "funnel_counts": funnel,
+    }
+    base = base_cost.get("curate_funnel", {}).get("shuffle_bytes", 0)
+    if base > 0:
+        growth = queries["curate_funnel"]["plan_cost"]["shuffle_bytes"] / base
+        queries["curate_funnel"]["bytes_growth"] = round(growth, 2)
+        if (
+            "curate_funnel" not in CROSS_SF_ALLOW
+            and growth > CROSS_SF_FACTOR * _CROSS_SF_SLACK
+        ):
+            regressions.append(
+                {"query": "curate_funnel", "metric": "shuffle_bytes_growth",
+                 "factor": CROSS_SF_FACTOR, "growth": round(growth, 2)}
+            )
+    cachepool.release()
+    return {
+        "factor": CROSS_SF_FACTOR,
+        "n_docs": CROSS_SF_FACTOR * 5000,
+        "queries": queries,
+        "regressions": regressions,
+    }
+
+
 def run_curate_funnel(spark, sf_dir: str) -> dict:
     """The composed product pipeline as a headline bench entry: full
     curate_corpus (LSH default, the 100 TB path) over the sf documents
@@ -324,6 +445,19 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             file=sys.stderr,
         )
 
+    # cross-scale validation (10× documents): ~linear shuffle growth
+    # for the LSH family, or it's a hidden quadratic — see run_cross_sf
+    cross_sf = (
+        run_cross_sf(spark, sf_dir, plan_cost)
+        if os.environ.get("SPARK_GRAFT_CROSS_SF", "1") != "0"
+        else None
+    )
+    if cross_sf and cross_sf["regressions"]:
+        print(
+            "CROSS-SF GROWTH REGRESSIONS: " + json.dumps(cross_sf["regressions"]),
+            file=sys.stderr,
+        )
+
     n_turns = flagship_turns(spark, BENCH_CONVS)
     turns_per_sec = n_turns / flagship_sec
     return {
@@ -339,6 +473,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # non-empty list = a query's plan grew vs the previous round's
         # committed BENCH artifact without a PLAN_COST_ALLOW entry
         "plan_regressions": regressions,
+        # 10×-documents re-run of the dedup family with per-query
+        # shuffle-bytes growth vs this same run's 1× numbers; entries
+        # in "regressions" = super-linear growth without an allow-list
+        # reason (the hidden-quadratic gate)
+        "cross_sf": cross_sf,
         "curate_funnel_counts": funnel,
         "sf": sf_tag,
         "n_turns": n_turns,

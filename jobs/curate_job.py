@@ -73,6 +73,11 @@ def main() -> int:
                          "broadcasts of the dropped-id/cluster frames "
                          "(AQE decides; avoids executor OOM when 20-30%% "
                          "of docs sit in dup groups)")
+    ap.add_argument("--checkpoint-dir",
+                    help="make the funnel checkpoint-resumable "
+                         "(plans/resumable.py): stage artifacts + lineage "
+                         "land here and a killed run re-executes only "
+                         "unfinished stages")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -116,8 +121,7 @@ def main() -> int:
     evalset = (
         load_docs(args.evalset, args.evalset_format) if args.evalset else None
     )
-    res = curate_corpus(
-        docs, evalset,
+    kw = dict(
         min_tokens=args.min_tokens,
         max_punct_ratio=args.max_punct_ratio,
         dedup_threshold=args.dedup_threshold,
@@ -131,13 +135,24 @@ def main() -> int:
         sample_fraction=args.sample_fraction,
         val_fraction=args.val_fraction,
         seed=args.seed,
-        # deferred: the documents sink write below is the action that
-        # resolves the funnel observations — no dedicated count pass
-        collect_funnel=False,
         assume_small_side_frames=not args.high_dup_rate,
     )
-    res.documents.write.mode("overwrite").parquet(f"{args.output}/documents")
-    res.resolve_funnel()
+    if args.checkpoint_dir:
+        from latex_ocr_spark.plans.resumable import curate_corpus_resumable
+
+        # resumable mode: the funnel is assembled from the stage
+        # lineage; the documents artifact is the checkpoint's own —
+        # copy it to the output sink
+        res = curate_corpus_resumable(
+            spark, docs, args.checkpoint_dir, evalset, **kw
+        )
+        res.documents.write.mode("overwrite").parquet(f"{args.output}/documents")
+    else:
+        # deferred: the documents sink write below is the action that
+        # resolves the funnel observations — no dedicated count pass
+        res = curate_corpus(docs, evalset, collect_funnel=False, **kw)
+        res.documents.write.mode("overwrite").parquet(f"{args.output}/documents")
+        res.resolve_funnel()
     if res.contamination_report is not None:
         res.contamination_report.write.mode("overwrite").parquet(f"{args.output}/report")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")

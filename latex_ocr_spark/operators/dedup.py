@@ -441,6 +441,101 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, cluster_id) connected components via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same output
+    contract as :func:`duplicate_clusters`, different round bound.
+
+    Min-label propagation needs rounds = component DIAMETER: fine for
+    clique-like near-dup clusters (diameter ~2), quadratic wall on an
+    adversarial chain (A≈B≈C≈…, e.g. a document edited repeatedly
+    with each version near-dup'ing only its neighbors).  Star
+    contraction converges in O(log² n) rounds regardless of shape —
+    each round is two groupBy shuffles instead of one join shuffle, so
+    per-round cost is ~2× and the win only shows on high-diameter
+    topologies; pick it when near-dup chains are expected
+    (tests/test_dedup.py pins a 64-chain to ≤ 10 rounds, where
+    propagation would exceed its 25-round cap and raise).
+
+    - large-star: every node points its LARGER neighbors at its
+      minimum neighborhood member (incl. itself);
+    - small-star: every node points its smaller-or-equal neighbors
+      (and itself) at that minimum;
+    - converged when a round leaves the edge set unchanged — the
+      edges then form stars (node → component minimum);
+    - ``localCheckpoint`` severs lineage each round, as in
+      :func:`duplicate_clusters`.
+    """
+    e = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # symmetric input: N(u) = {v : (u,v) ∈ ed}
+        m = ed.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
+        )
+        return (
+            ed.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # orient toward the smaller endpoint: big groups its smalls
+        oriented = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(m, "u")
+        links = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        selfs = joined.select("u", F.col("m").alias("v")).distinct()
+        return (
+            links.unionByName(selfs)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _round in range(max_iter):
+        after_large = _large_star(edges)
+        # re-symmetrize for the next large-star's neighborhood view
+        new_edges = _small_star(after_large).localCheckpoint()
+        sym = new_edges.unionByName(
+            new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct().localCheckpoint()
+        # converged iff the (symmetrized) edge set is unchanged
+        delta = (
+            sym.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(sym).limit(1).count()
+        )
+        edges = sym
+        if delta == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iter} "
+            "alternating rounds — raise max_iter (bound is O(log² n); "
+            "this should never trip on real components)"
+        )
+    # stars: every edge points at the component minimum; roots appear
+    # only on the right side — add their self-rows
+    stars = edges.filter(F.col("u") > F.col("v"))
+    roots = stars.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return (
+        stars.unionByName(roots)
+        .groupBy("u")
+        .agg(F.min("v").alias("cluster_id"))
+        .select(F.col("u").alias("id"), "cluster_id")
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -50,8 +50,20 @@ def infer_spans(
     tokens_col: str = "tokens",
     num_partitions: int | None = None,
     salt_buckets: int = DEFAULT_SALT,
+    decoder=None,
 ) -> DataFrame:
-    """Append ``pred_latex`` via the batched stand-in decode."""
+    """Append ``pred_latex`` via the batched decode.
+
+    ``decoder``: the real-model seam — a picklable callable
+    ``(B, L) int64 ndarray -> (B, L) int64 ndarray`` shipped to
+    executors inside the mapInPandas closure (a module global would
+    NOT survive the python-worker boundary).  A torch-backed decoder
+    closes over its (small) state dict; None runs the deterministic
+    stand-in (and raises NotImplementedError if torch is importable
+    but unwired — the honest container gate).  Tested in
+    tests/test_inference_eval.py: a numpy fake proves the plumbing
+    everywhere, and the torch-conditional test exercises a real tiny
+    module wherever torch exists."""
     df = with_token_bucket(spans_with_tokens, tokens_col)
     # salt on (conv_id, turn_idx): hashing conv_id alone would pin a
     # whale conversation to one partition — the turn component spreads
@@ -82,7 +94,7 @@ def infer_spans(
                 batch = np.full((len(ids_list), L), PAD_ID, dtype=np.int64)
                 for i, ids in enumerate(ids_list):
                     batch[i, : len(ids)] = ids
-                decoded = _decode_batch(batch)
+                decoded = _decode_batch(batch, decoder)
                 pdf["pred_latex"] = [tk.decode(row) for row in decoded]
             else:
                 pdf["pred_latex"] = []
@@ -94,7 +106,7 @@ def infer_spans(
 EOS_ID = 2
 
 
-def _decode_batch(batch: "np.ndarray") -> "np.ndarray":
+def _decode_batch(batch: "np.ndarray", decoder=None) -> "np.ndarray":
     """Stand-in for model.generate (models/utils.py:34-37) that keeps
     the *loop shape* of the reference's autoregressive sampler
     (transformer.py:12-52): one token emitted per step, rows that have
@@ -106,11 +118,20 @@ def _decode_batch(batch: "np.ndarray") -> "np.ndarray":
     temperature sampling).  Swapping in real weights replaces only the
     next-token function; the batching/masking contract is identical.
     """
+    if decoder is not None:
+        out = np.asarray(decoder(batch), dtype=np.int64)
+        if out.shape != batch.shape:
+            raise ValueError(
+                f"decoder output shape {out.shape} != input {batch.shape} — "
+                "the (B, L) contract is what a real model drops into"
+            )
+        return out
     try:  # pragma: no cover — real-model path, absent in this container
         import torch  # noqa: F401
 
         raise NotImplementedError(
-            "real ViT+AR decode requires trained weights; wire them here"
+            "real ViT+AR decode requires trained weights; pass decoder= "
+            "(see tests/test_inference_eval.py's torch-conditional test)"
         )
     except ImportError:
         pass

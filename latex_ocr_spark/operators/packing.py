@@ -8,9 +8,11 @@ budget with mixed lengths.
 
 Spark shape:
 
-- one range-repartition on the id (so pack membership is deterministic
-  and retry-stable), then a per-partition sort by (tokens desc, id) —
-  first-fit-decreasing order;
+- one hash-repartition on the id (pack membership deterministic and
+  retry-stable — partition is a pure function of the row; and unlike
+  a range repartition there is NO boundary-sampling pass, which would
+  execute the upstream pipeline twice), then a per-partition sort by
+  (tokens desc, id) — first-fit-decreasing order;
 - packing runs inside ``mapInPandas`` with bin state carried across
   the partition's Arrow batches: packs NEVER span partitions, so an
   executor can materialize whole packs locally and the only shuffle in
@@ -112,12 +114,25 @@ def pack_sequences(
     n_tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     num_partitions: Optional[int] = None,
+    group_col: Optional[str] = None,
 ) -> DataFrame:
     """Append (pack_id, pack_offset, pack_error) to ``docs``.
 
     ``pack_offset`` is the row's token start inside its pack (rows are
     laid out in assignment order).  Deterministic: same input ⇒ same
     packs, on any cluster size with the same ``num_partitions``.
+
+    ``group_col``: when set (e.g. the train/val ``split`` column), no
+    pack ever mixes rows from different groups — bin state is kept per
+    group within each partition (worst-case waste: one partial pack
+    per group per partition).  Still ONE shuffle and ONE pass: the
+    alternative
+    (filter-per-group + union) scans the upstream pipeline once per
+    group, which both doubles the work and double-counts any
+    ``observe()`` metrics riding the input (the deferred curation
+    funnel).  Pack numbers come from a partition-local counter shared
+    across groups, so ``pack_id`` stays globally unique — and exactly
+    equal to the ungrouped packer's ids when only one group exists.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -135,14 +150,27 @@ def pack_sequences(
         # bin state spans the partition's Arrow batches: packs are
         # partition-scoped, batches are an Arrow transport detail
         pid = None
-        bins = _FirstFitBins(budget)  # O(log bins) exact first-fit
+        # one _FirstFitBins per group (a single shared instance when
+        # group_col is None) — O(log bins) exact first-fit either way.
+        # Pack numbers come from a partition-local counter shared
+        # across groups, so pack_id stays globally unique even when
+        # several groups share a partition; with a single group the
+        # counter order equals bin-open order, i.e. ids are
+        # byte-identical to the ungrouped packer's.
+        bins_by_group: dict = {}
+        pack_no: dict = {}
         for pdf in batches:
             if pid is None and len(pdf):
                 from pyspark import TaskContext
 
                 pid = TaskContext.get().partitionId()
+            groups = pdf[group_col] if group_col is not None else None
             pack_ids, offsets, errors = [], [], []
-            for tok in pdf[n_tokens_col]:
+            for row_i, tok in enumerate(pdf[n_tokens_col]):
+                grp = groups.iloc[row_i] if groups is not None else None
+                bins = bins_by_group.get(grp)
+                if bins is None:
+                    bins = bins_by_group[grp] = _FirstFitBins(budget)
                 if pd.isna(tok):
                     # NULL upstream count (Arrow delivers NaN): the
                     # most common corrupt-count shape — quarantine,
@@ -167,7 +195,8 @@ def pack_sequences(
                     continue
                 # first fit (input arrives sorted decreasing)
                 k, off = bins.place(tok)
-                pack_ids.append((pid << 32) | k)
+                local = pack_no.setdefault((grp, k), len(pack_no))
+                pack_ids.append((pid << 32) | local)
                 offsets.append(off)
                 errors.append(None)
             out = pdf.copy()
@@ -176,12 +205,28 @@ def pack_sequences(
             out["pack_error"] = errors
             yield out
 
-    ranged = (
-        docs.repartitionByRange(num_partitions, F.col(id_col))
+    # HASH repartition, not repartitionByRange: the range partitioner
+    # SAMPLES its child to pick boundaries, which executes the whole
+    # upstream pipeline a second time inside the same query execution —
+    # a full extra pass when the input is a curation pipeline at scale,
+    # and it double-counts any observe() metrics riding the spine (the
+    # deferred funnel counts).  Hash partitioning is a single pass and
+    # equally deterministic/retry-stable: partition = pmod(hash(keys)),
+    # a pure function of the row, independent of cluster size for a
+    # fixed num_partitions.
+    # partition on the id alone even when grouped (groups may share a
+    # partition; per-group bin state keeps their packs disjoint) — so
+    # a one-group grouped run assigns byte-identically to an ungrouped
+    # run, and group skew can never skew partitions
+    parted = (
+        docs.repartition(num_partitions, F.col(id_col))
         if num_partitions
-        else docs.repartitionByRange(F.col(id_col))
+        else docs.repartition(F.col(id_col))
     )
-    ordered = ranged.sortWithinPartitions(F.col(n_tokens_col).desc(), F.col(id_col))
+    sort_cols = ([F.col(group_col)] if group_col is not None else []) + [
+        F.col(n_tokens_col).desc(), F.col(id_col)
+    ]
+    ordered = parted.sortWithinPartitions(*sort_cols)
     return ordered.mapInPandas(run, schema=schema)
 
 

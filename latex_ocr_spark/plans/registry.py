@@ -963,6 +963,15 @@ def dedup_clusters(spark, sf):
     return D.duplicate_clusters(pairs)
 
 
+# duplicate_clusters_star (alternating large-star/small-star, Kiveris
+# et al. SoCC'14 — O(log² n) rounds vs propagation's diameter rounds on
+# chain-shaped components) deliberately has NO registry slot: the
+# driver verifies only the first 50 queries (tests/test_registry_window
+# .py).  Its oracle is transitive instead: tests/test_dedup.py pins
+# star ≡ propagation on THIS query's own pair input at sf0.001, and the
+# propagation result above is driver-hash-green vs the recursive CTE.
+
+
 @register(
     "dedup_lsh_jaccard",
     oracle=r"""

@@ -10,31 +10,34 @@ batch operator applied per micro-batch inside ``foreachBatch``
 
     readStream(documents dir)
       → foreachBatch: dedup.decontaminate(batch, evalset)
-          → append contamination report
-          → append cleaned documents
+          → contamination report sink
+          → cleaned documents sink
 
 The eval set's shingle/signature frames are small (benchmarks are) and
 broadcast inside every micro-batch join, so each batch costs one scan
 of its own files plus the broadcast probes.
 
 Delivery semantics: ``availableNow`` + checkpoint give exactly-once
-*file progress* (a fully processed batch is never re-read), but the
-two independent parquet appends inside ``foreachBatch`` make the
-OUTPUT at-least-once — a batch that fails between or after the writes
-is retried on restart and appends its rows again.  Readers that need
-exactly-once results dedup on read: both outputs have natural keys
-(``report`` on (corpus_id, eval_id); ``cleaned`` on doc_id), so a
-``dropDuplicates`` over the key — or writing the consumer-side join
-through one of this repo's exact-dedup operators — removes replay
-copies.  (The alternative, idempotent batch_id-partitioned dynamic
-overwrite, trades that read-side dedup for a partition-registry
-commit; documented rather than imposed.)
+*file progress* (a fully processed batch is never re-read).  With the
+default ``idempotent=True`` the OUTPUT is exactly-once too: both sinks
+are batch_id-partitioned dynamic overwrites (streaming/sinks.py), so a
+batch replayed after a failure between or after its writes REPLACES
+its own partitions instead of appending duplicates; read the results
+back through ``sinks.read_stream_output`` (drops the transport
+column).  ``idempotent=False`` keeps the legacy plain-append layout —
+at-least-once: a replayed batch appends its rows again, and readers
+must dedup on the natural keys (``report`` on (corpus_id, eval_id);
+``cleaned`` on doc_id) via ``sinks.dedup_on_read``.
 """
 
 from __future__ import annotations
 
+from typing import Optional, Set
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from latex_ocr_spark.streaming.sinks import write_batch_idempotent
 
 DOCS_STREAM_SCHEMA = T.StructType(
     [
@@ -54,12 +57,19 @@ def start_decontamination_stream(
     threshold: float = 0.5,
     ngram: int = 3,
     available_now: bool = True,
+    idempotent: bool = True,
+    _fail_batches: Optional[Set[int]] = None,
 ):
     """Continuously decontaminate documents as files land.
 
     ``evalset`` is a static (doc_id, text) frame; each micro-batch is
     checked independently against it and split into a contamination
-    report (corpus_id, eval_id, jaccard) and a cleaned append stream.
+    report (corpus_id, eval_id, jaccard) and a cleaned stream.
+
+    ``_fail_batches`` injects a crash AFTER the named batches' sink
+    writes but before the checkpoint commit — the test hook for the
+    replayed-batch window (the failure mode ``idempotent`` exists
+    for).
     """
     from latex_ocr_spark import cachepool
     from latex_ocr_spark.operators.dedup import decontaminate
@@ -68,7 +78,7 @@ def start_decontamination_stream(
         spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet").load(input_dir)
     )
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         # scoped, not release(): this runs on the stream's micro-batch
         # thread, and a global sweep here would unpersist frames a
         # concurrently running batch query or second stream still needs
@@ -76,8 +86,17 @@ def start_decontamination_stream(
             report, cleaned = decontaminate(
                 batch_df, evalset, threshold=threshold, ngram=ngram
             )
-            report.write.mode("append").parquet(report_dir)
-            cleaned.write.mode("append").parquet(clean_dir)
+            if idempotent:
+                write_batch_idempotent(report, batch_id, report_dir)
+                write_batch_idempotent(cleaned, batch_id, clean_dir)
+            else:
+                report.write.mode("append").parquet(report_dir)
+                cleaned.write.mode("append").parquet(clean_dir)
+            if _fail_batches and batch_id in _fail_batches:
+                raise RuntimeError(
+                    f"injected crash after batch {batch_id} writes, "
+                    "before checkpoint commit"
+                )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,60 @@
+"""Idempotent foreachBatch sinks.
+
+Structured Streaming's checkpoint gives exactly-once *source* progress,
+but a plain ``mode("append")`` inside ``foreachBatch`` makes the OUTPUT
+at-least-once: a batch that fails after (or between) its writes is
+replayed on restart and appends its rows again.
+
+The fix is the batch-id-partitioned dynamic overwrite: every batch
+writes ``batch_id=<id>/`` partition directories with per-write
+``partitionOverwriteMode=dynamic``, so a replayed batch REPLACES its
+own partitions instead of appending next to them — the same
+idempotent-unit commit the extraction resume path uses
+(operators/lineage.py: dynamic overwrite by work_key).  Replays become
+invisible; no dedup-on-read required.
+
+For sinks that must stay plain appends (an external table whose layout
+a consumer owns), :func:`dedup_on_read` is the documented read-side
+escape hatch: both of this repo's streaming outputs carry natural keys
+(report on (corpus_id, eval_id); cleaned/spans on their row identity),
+so a keyed ``dropDuplicates`` removes replay copies.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BATCH_COL = "batch_id"
+
+
+def write_batch_idempotent(df: DataFrame, batch_id: int, path: str) -> None:
+    """Write one micro-batch's rows under ``path`` so that replaying
+    the batch replaces — never duplicates — its output.
+
+    The overwrite mode rides the WRITER (a per-write option), not the
+    session conf: foreachBatch runs on the stream's micro-batch thread
+    and a session-wide conf flip there would race a concurrently
+    committing second stream or batch query."""
+    (
+        df.withColumn(BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL)
+        .parquet(path)
+    )
+
+
+def read_stream_output(spark: SparkSession, path: str) -> DataFrame:
+    """Read an idempotent sink back without its transport column."""
+    return spark.read.parquet(path).drop(BATCH_COL)
+
+
+def dedup_on_read(
+    spark: SparkSession, path: str, key_cols: Sequence[str]
+) -> DataFrame:
+    """Exactly-once view over a plain-append (at-least-once) sink:
+    one row per natural key, replay copies dropped."""
+    return spark.read.parquet(path).dropDuplicates(list(key_cols))

@@ -38,19 +38,29 @@ def start_extraction_stream(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    idempotent: bool = True,
 ):
     """Continuously extract spans from transcript files as they land.
 
     foreachBatch keeps the exact batch operator (single code path for
-    batch + streaming); each micro-batch appends its spans.
+    batch + streaming).  ``idempotent=True`` (default) writes each
+    micro-batch as a batch_id-partitioned dynamic overwrite
+    (streaming/sinks.py) so a replayed batch replaces its own output —
+    exactly-once results; read back via ``sinks.read_stream_output``.
+    ``idempotent=False`` keeps the plain append layout (at-least-once
+    under batch replay; dedup on read by row identity).
     """
     from latex_ocr_spark.operators.extract import extract_spans
+    from latex_ocr_spark.streaming.sinks import write_batch_idempotent
 
     stream = read_transcript_stream(spark, input_dir)
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         spans = extract_spans(batch_df.select("conv_id", "turn_idx", "text"))
-        spans.write.mode("append").parquet(output_dir)
+        if idempotent:
+            write_batch_idempotent(spans, batch_id, output_dir)
+        else:
+            spans.write.mode("append").parquet(output_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -1,0 +1,152 @@
+"""Checkpoint-resume for the curation funnel (plans/resumable.py):
+
+- a fresh resumable run must equal plans/curate.py's non-resumable
+  funnel row-for-row AND count-for-count (the oracle-checked pipeline
+  is the semantics contract; resumable mode only adds durability);
+- a run killed in any stage's crash window (artifact written, lineage
+  not yet committed) must resume to a byte-identical final table,
+  re-executing ONLY unfinished stages;
+- resuming under different knobs must refuse (config fingerprint).
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import pytest
+from pyspark.sql import functions as F
+
+from latex_ocr_spark import cachepool
+from latex_ocr_spark.plans.curate import curate_corpus
+from latex_ocr_spark.plans.resumable import curate_corpus_resumable
+from test_curate import _fixture
+
+KW = dict(min_tokens=5, max_punct_ratio=0.3, dedup_threshold=0.5,
+          near_dup_method="jaccard", ngram=1, val_fraction=0.3)
+
+
+def _evalset(spark):
+    return spark.createDataFrame(
+        [(-1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+
+
+def _table(df):
+    return sorted(tuple(r) for r in df.select("doc_id", "text", "split").collect())
+
+
+def test_fresh_resumable_run_matches_curate_corpus(spark, tmp_path):
+    docs, evalset = _fixture(spark), _evalset(spark)
+    baseline = curate_corpus(docs, evalset, **KW)
+    cachepool.release()
+
+    res = curate_corpus_resumable(
+        spark, docs, str(tmp_path / "ckpt"), evalset, **KW
+    )
+    cachepool.release()
+    assert res.funnel == baseline.funnel
+    assert _table(res.documents) == _table(baseline.documents)
+    assert sorted(map(tuple, res.clusters.collect())) == sorted(
+        map(tuple, baseline.clusters.collect())
+    )
+    assert sorted(map(tuple, res.contamination_report.collect())) == sorted(
+        map(tuple, baseline.contamination_report.collect())
+    )
+
+
+def test_fresh_resumable_without_evalset_matches(spark, tmp_path):
+    docs = _fixture(spark)
+    baseline = curate_corpus(docs, **KW)
+    cachepool.release()
+    res = curate_corpus_resumable(spark, docs, str(tmp_path / "ck2"), **KW)
+    cachepool.release()
+    assert res.funnel == baseline.funnel
+    assert _table(res.documents) == _table(baseline.documents)
+
+
+@pytest.mark.parametrize("crash_stage", ["groups", "pairs", "clusters",
+                                         "report", "documents"])
+def test_kill_and_resume_is_byte_identical(spark, tmp_path, crash_stage,
+                                           monkeypatch):
+    """Crash in each stage's artifact→lineage window, then resume: the
+    final split table must equal an uninterrupted run's exactly, and
+    stages committed before the crash must NOT re-execute."""
+    docs, evalset = _fixture(spark), _evalset(spark)
+    baseline = curate_corpus_resumable(
+        spark, docs, str(tmp_path / "base"), evalset, **KW
+    )
+    cachepool.release()
+
+    ckpt = str(tmp_path / f"crash_{crash_stage}")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        curate_corpus_resumable(
+            spark, docs, ckpt, evalset, _fail_after_write={crash_stage}, **KW
+        )
+    cachepool.release()
+
+    # count stage-level recomputation on resume via the operators each
+    # completed stage would have to re-enter
+    from latex_ocr_spark.operators import dedup as D
+    calls = []
+    for name in ("exact_duplicates", "jaccard_pairs", "duplicate_clusters",
+                 "decontaminate"):
+        real = getattr(D, name)
+
+        def counting(*a, __name=name, __real=real, **kw):
+            calls.append(__name)
+            return __real(*a, **kw)
+
+        monkeypatch.setattr(D, name, counting)
+
+    res = curate_corpus_resumable(spark, docs, ckpt, evalset, **KW)
+    cachepool.release()
+    assert res.funnel == baseline.funnel
+    assert _table(res.documents) == _table(baseline.documents)
+
+    # the crashed stage re-runs; everything committed before it never
+    # does (the lineage row is the commit point)
+    stage_op = {"groups": "exact_duplicates", "pairs": "jaccard_pairs",
+                "clusters": "duplicate_clusters", "report": "decontaminate"}
+    done_before = []
+    for s in ("groups", "pairs", "clusters", "report"):
+        if s == crash_stage:
+            break
+        done_before.append(stage_op[s])
+    for op in done_before:
+        assert op not in calls, (crash_stage, op, calls)
+    if crash_stage in stage_op:
+        assert stage_op[crash_stage] in calls, (crash_stage, calls)
+
+
+def test_completed_run_is_a_cheap_no_op_and_rereads_artifacts(spark, tmp_path,
+                                                              monkeypatch):
+    docs = _fixture(spark)
+    ckpt = str(tmp_path / "full")
+    first = curate_corpus_resumable(spark, docs, ckpt, **KW)
+    cachepool.release()
+
+    from latex_ocr_spark.operators import dedup as D
+    for name in ("exact_duplicates", "jaccard_pairs", "duplicate_clusters"):
+        monkeypatch.setattr(
+            D, name,
+            lambda *a, __n=name, **kw: (_ for _ in ()).throw(
+                AssertionError(f"{__n} re-executed on a completed checkpoint")
+            ),
+        )
+    again = curate_corpus_resumable(spark, docs, ckpt, **KW)
+    cachepool.release()
+    assert again.funnel == first.funnel
+    assert _table(again.documents) == _table(first.documents)
+
+
+def test_config_change_refuses_stale_checkpoint(spark, tmp_path):
+    docs = _fixture(spark)
+    ckpt = str(tmp_path / "cfg")
+    curate_corpus_resumable(spark, docs, ckpt, **KW)
+    cachepool.release()
+    changed = dict(KW, dedup_threshold=0.7)
+    with pytest.raises(RuntimeError, match="different configuration"):
+        curate_corpus_resumable(spark, docs, ckpt, **changed)
+    cachepool.release()

@@ -244,3 +244,80 @@ def test_shingle_amplification_guard(spark):
         spark.sparkContext.defaultParallelism
     ).selectExpr("id AS doc_id", "'a b c' AS text")
     assert _with_min_parallelism(wide) is wide  # strict no-op
+
+
+def test_star_clusters_match_propagation_on_mixed_topologies(spark):
+    """large-star/small-star contraction must produce the identical
+    (id, cluster_id) table as min-label propagation — two fixpoint
+    algorithms, one answer — on chains, cliques, pairs, and a random
+    pair soup."""
+    import random
+
+    from latex_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    fixed = [
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        (10, 11), (10, 12), (11, 12),
+        (20, 21),
+    ]
+    rng = random.Random(7)
+    soup = [(rng.randrange(100, 160), rng.randrange(100, 160)) for _ in range(80)]
+    soup = [(a, b) for a, b in soup if a != b]
+    pairs = spark.createDataFrame(fixed + soup, "a_id long, b_id long")
+
+    prop = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    star = {r.id: r.cluster_id for r in duplicate_clusters_star(pairs).collect()}
+    assert star == prop
+
+
+def test_star_clusters_bound_rounds_on_adversarial_chain(spark):
+    """THE topology star contraction exists for: a 64-link chain
+    (diameter 63) — min-label propagation would need 64 rounds and
+    raises at its default 25-round cap; star contraction closes it
+    within 10 alternating rounds."""
+    import pytest
+
+    from latex_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    k = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, k)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs)  # default max_iter=25 < diameter
+
+    got = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters_star(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 1 for i in range(1, k + 1)}
+
+
+def test_star_clusters_match_propagation_on_registry_pairs(spark, sf_small):
+    """Oracle by transitivity: on the SAME pair input the driver's
+    ``dedup_clusters`` query uses (planted-copy capped Jaccard at
+    sf0.001), star contraction must equal min-label propagation — and
+    propagation is driver-hash-green against the recursive-CTE oracle,
+    so star inherits the oracle without spending a slot of the
+    50-query driver window."""
+    from latex_ocr_spark import cachepool
+    from latex_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+        jaccard_pairs,
+    )
+    from latex_ocr_spark.plans.registry import _planted_docs
+
+    pairs = jaccard_pairs(
+        _planted_docs(spark, sf_small), threshold=0.3, ngram=1, max_df=50
+    )
+    prop = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    star = {r.id: r.cluster_id for r in duplicate_clusters_star(pairs).collect()}
+    assert star == prop and star
+    cachepool.release()

@@ -169,3 +169,59 @@ def test_packing_quarantines_negative_token_counts(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-negative"):
         _FirstFitBins(100).place(-5)
+
+
+def test_grouped_packing_never_mixes_groups_single_pass(spark):
+    """group_col (the train/val split): no pack mixes groups, pack_ids
+    stay globally unique, per-group assignments equal running the
+    ungrouped packer on that group alone — and the plan still has
+    exactly one exchange (the whole point vs filter-per-group+union,
+    which would scan upstream once per group)."""
+    docs = _docs(spark).withColumn(
+        "split", F.when(F.col("doc_id") % 5 == 0, "val").otherwise("train")
+    )
+    packed = pack_sequences(docs, BUDGET, num_partitions=8, group_col="split")
+    rows = packed.collect()
+    assert len(rows) == 400 and all(r.pack_id is not None for r in rows)
+
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_pack.values())  # never mixed
+
+    # budget + contiguous offsets hold per pack (same invariants as
+    # the ungrouped packer)
+    packs = {}
+    for r in rows:
+        packs.setdefault(r.pack_id, []).append((r.pack_offset, r.n_tokens))
+    for members in packs.values():
+        members.sort()
+        pos = 0
+        for off, tok in members:
+            assert off == pos
+            pos += tok
+        assert pos <= BUDGET
+
+    # single exchange: one range repartition, no union-of-branches
+    # (post-execution AQE prints Final + Initial sections — scope the
+    # count to the final physical plan)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1 and "Union" not in final
+
+
+def test_grouped_packing_with_one_group_equals_ungrouped(spark):
+    """Byte-identical ids/offsets when only one group exists — the
+    pack-number counter degrades to the bin index."""
+    docs = _docs(spark, n=200).withColumn("split", F.lit("train"))
+    grouped = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs, BUDGET, num_partitions=4,
+                                group_col="split").collect()
+    }
+    plain = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs.drop("split"), BUDGET,
+                                num_partitions=4).collect()
+    }
+    assert grouped == plain

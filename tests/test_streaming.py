@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from latex_ocr_spark.operators.extract import extract_spans
 from latex_ocr_spark.sources.tables import synth_transcripts
+from latex_ocr_spark.streaming.sinks import read_stream_output
 from latex_ocr_spark.streaming.stream import start_extraction_stream
 
 
@@ -39,7 +40,7 @@ def test_stream_matches_batch_and_resumes(spark, dirs):
     first.write.mode("append").parquet(inp)
     q = start_extraction_stream(spark, inp, out, ckpt, available_now=True)
     q.awaitTermination(120)
-    got1 = _spans_set(spark.read.parquet(out))
+    got1 = _spans_set(read_stream_output(spark, out))
     assert got1 == _spans_set(extract_spans(first.select("conv_id", "turn_idx", "text")))
 
     # land the rest; a catch-up run must process only the new files
@@ -47,10 +48,10 @@ def test_stream_matches_batch_and_resumes(spark, dirs):
     second.write.mode("append").parquet(inp)
     q = start_extraction_stream(spark, inp, out, ckpt, available_now=True)
     q.awaitTermination(120)
-    got2 = _spans_set(spark.read.parquet(out))
+    got2 = _spans_set(read_stream_output(spark, out))
     assert got2 == _spans_set(extract_spans(all_t.select("conv_id", "turn_idx", "text")))
 
     # re-run with nothing new: checkpoint makes it a no-op (no dupes)
     q = start_extraction_stream(spark, inp, out, ckpt, available_now=True)
     q.awaitTermination(120)
-    assert _spans_set(spark.read.parquet(out)) == got2
+    assert _spans_set(read_stream_output(spark, out)) == got2
