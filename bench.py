@@ -325,6 +325,33 @@ def run_curate_funnel(spark, sf_dir: str) -> dict:
     return {s: [i, o] for s, i, o in res.resolve_funnel()}
 
 
+def run_prepare_pipeline(spark, sf_dir: str) -> dict:
+    """The one-command training-prep chain (jobs/prepare_job.py shape)
+    as a headline bench entry: curate (LSH, deferred funnel) →
+    broadcast-vocab BPE tokenize → grouped per-split pack → sink.
+    The noop sink is the resolving action for the funnel observations,
+    exactly like the job's packed-table write."""
+    from pyspark.sql import functions as F
+
+    from latex_ocr_spark.operators.packing import pack_sequences
+    from latex_ocr_spark.operators.tokenize import with_tokens
+    from latex_ocr_spark.plans.curate import curate_corpus
+    from latex_ocr_spark.plans.registry import planted_evalset
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    res = curate_corpus(
+        docs, planted_evalset(docs), min_tokens=3, near_dup_method="lsh",
+        ngram=3, val_fraction=0.1, collect_funnel=False,
+    )
+    toks = with_tokens(res.documents, text_col="text", out_col="tokens")
+    toks = toks.withColumn("n_tokens", F.size("tokens"))
+    packed = pack_sequences(toks, budget=2048, group_col="split")
+    _noop_write(packed)
+    return {s: [i, o] for s, i, o in res.resolve_funnel()}
+
+
 def flagship_turns(spark, n_convs: int) -> int:
     from latex_ocr_spark.datagen.transcripts import conv_length
 
@@ -426,6 +453,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     funnel = run_curate_funnel(spark, sf_dir)
     timings["curate_funnel"] = round(time.time() - t0, 3)
     plan_cost["curate_funnel"] = _plan_cost(spark, marker)
+    cachepool.release()
+
+    # the full training-prep chain (curate → BPE → pack), new r5
+    marker = _exec_marker(spark)
+    t0 = time.time()
+    run_prepare_pipeline(spark, sf_dir)
+    timings["prepare_pipeline"] = round(time.time() - t0, 3)
+    plan_cost["prepare_pipeline"] = _plan_cost(spark, marker)
     cachepool.release()
 
     # diff only against a same-scale baseline: broadcast/exchange choices

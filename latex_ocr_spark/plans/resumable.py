@@ -349,11 +349,14 @@ def curate_corpus_resumable(
             report = spark.read.parquet(report_path)
             # every contaminated id is on the cur4 spine by
             # construction, so the stage's drop count is a distinct
-            # count over the SMALL artifact — no corpus pass
-            n_dropped = report.select("corpus_id").distinct().count()
-            n5 = n4 - n_dropped
+            # count over the SMALL artifact — no corpus pass (and one
+            # action: rows + distinct ride the same aggregate)
+            n_rows, n_dropped = report.agg(
+                F.count(F.lit(1)), F.count_distinct("corpus_id")
+            ).first()
+            n5 = n4 - int(n_dropped)
             _commit(spark, lineage_path, "report", cfg,
-                    int(report.count()), {"n_dropped": n_dropped}, started)
+                    int(n_rows), {"n_dropped": int(n_dropped)}, started)
         contaminated = _maybe_bcast(
             report.select(F.col("corpus_id").alias(id_col)).distinct()
         )
