@@ -150,3 +150,24 @@ def test_config_change_refuses_stale_checkpoint(spark, tmp_path):
     with pytest.raises(RuntimeError, match="different configuration"):
         curate_corpus_resumable(spark, docs, ckpt, **changed)
     cachepool.release()
+
+
+def test_resumable_with_redact_and_sample_matches(spark, tmp_path):
+    """The optional stages (redaction before any text-derived signal;
+    deterministic post-decontamination down-sample) must flow through
+    the resumable funnel identically to curate_corpus — including the
+    funnel rows they add."""
+    docs, evalset = _fixture(spark), _evalset(spark)
+    kw = dict(KW, redact=True, sample_fraction=0.8)
+    baseline = curate_corpus(docs, evalset, **kw)
+    cachepool.release()
+    res = curate_corpus_resumable(
+        spark, docs, str(tmp_path / "rs"), evalset, **kw
+    )
+    cachepool.release()
+    assert res.funnel == baseline.funnel
+    assert [s for s, _i, _o in res.funnel] == [
+        "redact", "quality_gates", "exact_dedup", "near_dup_clusters",
+        "decontaminate", "sample", "split",
+    ]
+    assert _table(res.documents) == _table(baseline.documents)

@@ -1,0 +1,123 @@
+"""Streaming near-dup dedup (streaming/near_dedup.py): incremental
+MinHash-LSH with a durable survivor index — in-batch clusters collapse
+to their canonical, later batches drop docs near-duplicating ANY
+earlier survivor, replays are exactly-once, and with monotonic ids +
+clique-shaped clusters the survivor set equals the batch pipeline's."""
+
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import pytest
+from pyspark.sql import functions as F
+
+from latex_ocr_spark import cachepool
+from latex_ocr_spark.streaming.near_dedup import start_near_dedup_stream
+from latex_ocr_spark.streaming.sinks import read_stream_output
+
+
+@pytest.fixture
+def dirs():
+    d = tempfile.mkdtemp(prefix="stream_neardup_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _text(i):
+    return f"na{i} nb{i*3} nc{i*7} nd{i*11} ne{i*13}"
+
+
+def _batch1(spark):
+    rows = [(i, _text(i)) for i in range(20)]
+    rows.append((100, _text(5).replace("nb15", "xb15")))  # near-dup of 5
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch2(spark):
+    rows = [(200 + i, _text(200 + i)) for i in range(10)]
+    rows.append((300, _text(3).replace("nc21", "xc21")))  # near-dup of 3
+    rows.append((301, _text(7)))                          # exact copy of 7
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+KW = dict(threshold=0.5, ngram=1, num_hashes=8, band_size=2)
+
+
+def _run(spark, dirs, **kw):
+    q = start_near_dedup_stream(
+        spark, f"{dirs}/in", f"{dirs}/out", f"{dirs}/index", f"{dirs}/ckpt",
+        **{**KW, **kw},
+    )
+    q.awaitTermination(180)
+
+
+def test_in_batch_and_cross_batch_near_dups_dropped(spark, dirs):
+    b1, b2 = _batch1(spark), _batch2(spark)
+    b1.write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    got1 = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
+    assert got1 == sorted(range(20))  # 100 collapsed onto canonical 5
+    cachepool.release()
+
+    # catch-up over new files only; history check spans batches
+    b2.write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    got2 = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
+    expect = sorted(list(range(20)) + [200 + i for i in range(10)])
+    assert got2 == expect  # 300 (near-dup of 3) and 301 (copy of 7) dropped
+    cachepool.release()
+
+    # with monotonic ids and clique clusters, streaming == the batch
+    # pipeline over the full concatenation
+    from latex_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_verified_pairs,
+    )
+
+    union = b1.unionByName(b2)
+    pairs = lsh_verified_pairs(union, **KW)
+    non_canon = duplicate_clusters(pairs).filter(
+        F.col("id") != F.col("cluster_id")
+    ).select(F.col("id").alias("doc_id"))
+    batch_survivors = sorted(
+        r.doc_id for r in union.join(non_canon, "doc_id", "left_anti").collect()
+    )
+    assert got2 == batch_survivors
+    cachepool.release()
+
+    # the index holds exactly the survivors' signatures
+    idx_ids = sorted(
+        r.id
+        for r in spark.read.parquet(f"{dirs}/index/signatures")
+        .select("id").distinct().collect()
+    )
+    assert idx_ids == expect
+
+
+def test_replayed_batch_keeps_survivors_exactly_once(spark, dirs):
+    """THE replay hazard for an index-building stream: a replayed batch
+    must neither duplicate its output nor see its own partial index
+    rows (which would flag every doc as a self-duplicate and replace
+    the output with an empty partition — silent data loss)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    q = start_near_dedup_stream(
+        spark, f"{dirs}/in", f"{dirs}/out", f"{dirs}/index", f"{dirs}/ckpt",
+        _fail_batches={0}, **KW,
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(180)
+    # the first attempt's writes landed (index now holds batch 0 rows)
+    assert read_stream_output(spark, f"{dirs}/out").count() == 20
+    cachepool.release()
+
+    _run(spark, dirs)  # replay batch 0
+    got = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
+    assert got == sorted(range(20))  # not empty, not duplicated
+    idx = spark.read.parquet(f"{dirs}/index/signatures").select("id").collect()
+    assert len(idx) == len({r.id for r in idx}) == 20
+    cachepool.release()
