@@ -247,6 +247,9 @@ def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
     # the registry queries load <sf_dir>/documents.parquet — the
     # synthetic 10× directory plays the sf_dir role directly
     big_dir = _ensure_cross_sf_docs(spark, sf_dir, CROSS_SF_FACTOR)
+    n_docs = spark.read.parquet(
+        os.path.join(big_dir, "documents.parquet")
+    ).count()
     queries = {}
     regressions = []
     for name in CROSS_SF_QUERIES:
@@ -283,10 +286,12 @@ def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
     }
     base = base_cost.get("curate_funnel", {}).get("shuffle_bytes", 0)
     if base > 0:
-        growth = queries["curate_funnel"]["plan_cost"]["shuffle_bytes"] / base
+        fc = queries["curate_funnel"]["plan_cost"]["shuffle_bytes"]
+        growth = fc / base
         queries["curate_funnel"]["bytes_growth"] = round(growth, 2)
         if (
             "curate_funnel" not in CROSS_SF_ALLOW
+            and fc > (1 << 20)  # same noise floor as the per-query gate
             and growth > CROSS_SF_FACTOR * _CROSS_SF_SLACK
         ):
             regressions.append(
@@ -296,7 +301,7 @@ def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
     cachepool.release()
     return {
         "factor": CROSS_SF_FACTOR,
-        "n_docs": CROSS_SF_FACTOR * 5000,
+        "n_docs": n_docs,
         "queries": queries,
         "regressions": regressions,
     }

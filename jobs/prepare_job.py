@@ -52,8 +52,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def prepare_tables(spark, docs, evalset, args):
     """The composed chain, importable for tests/bench: returns
-    (packed, stats, result) with every frame still lazy except the
-    actions the curation mode itself performs."""
+    (packed, result) with every frame still lazy except the actions
+    the curation mode itself performs; per-pack stats come from
+    :func:`packed_stats` over the WRITTEN table."""
     from pyspark.sql import functions as F
 
     from latex_ocr_spark.operators.packing import pack_sequences, pack_stats
@@ -154,7 +155,7 @@ def main() -> int:
                          "BEFORE packing (F6 gate; over-budget rows "
                          "are otherwise quarantined by the packer)")
     ap.add_argument("--pack-partitions", type=int,
-                    help="fixed range-partition count for deterministic "
+                    help="fixed hash-partition count for deterministic "
                          "packing across cluster sizes")
     ap.add_argument("--bucket-table",
                     help="ALSO write the packed table as a bucketed "

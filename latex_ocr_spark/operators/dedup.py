@@ -525,11 +525,20 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             "this should never trip on real components)"
         )
     # stars: every edge points at the component minimum; roots appear
-    # only on the right side — add their self-rows
+    # only on the right side — add their self-rows.  Nodes whose ONLY
+    # pair was a self-loop (a, a) were dropped by the u != v edge
+    # filter up front; propagation emits them as singleton clusters,
+    # so the same-output contract restores them here.
     stars = edges.filter(F.col("u") > F.col("v"))
     roots = stars.select(F.col("v").alias("u"), F.col("v")).distinct()
+    self_loops = (
+        pairs.filter(F.col("a_id") == F.col("b_id"))
+        .select(F.col("a_id").alias("u"), F.col("a_id").alias("v"))
+        .distinct()
+    )
     return (
         stars.unionByName(roots)
+        .unionByName(self_loops)
         .groupBy("u")
         .agg(F.min("v").alias("cluster_id"))
         .select(F.col("u").alias("id"), "cluster_id")

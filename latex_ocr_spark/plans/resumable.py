@@ -49,8 +49,9 @@ from __future__ import annotations
 import hashlib
 import json
 import time
-from typing import List, Optional, Set, Tuple
+from typing import Callable, List, Optional, Set, Tuple
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,6 +69,27 @@ _LINEAGE_SCHEMA = (
 STAGES = ("groups", "pairs", "clusters", "report", "documents")
 
 
+def _obs_n(obs: Observation, fallback: Callable[[], int]) -> int:
+    """Observation count with the degenerate-corpus fallback
+    plans/curate.py carries: when a runtime-empty broadcast side makes
+    AQE skip the branch holding a CollectMetrics node, the observation
+    completes with a schema-less empty row that pyspark's
+    ``Observation.get`` cannot convert (toPyRow asserts).  Read the JVM
+    map directly; when the metric is genuinely absent, pay the
+    caller's fallback count — only on this near-empty path, where the
+    funnel MUST still report true stage counts."""
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        try:
+            m = obs._jo.getAsJava()
+            if m.containsKey("n"):
+                return int(m.get("n"))
+        except Exception:
+            pass
+        return int(fallback())
+
+
 def _config_hash(knobs: dict) -> str:
     return hashlib.md5(
         json.dumps(knobs, sort_keys=True, default=str).encode()
@@ -80,8 +102,14 @@ def _read_lineage(spark: SparkSession, lineage_path: str) -> dict:
     overwrites artifacts and appends fresh lineage)."""
     try:
         rows = spark.read.parquet(lineage_path).collect()
-    except Exception:  # AnalysisException: no runs yet
-        return {}
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return {}  # no runs yet
+        # any OTHER analysis failure (permissions, corrupt footer)
+        # must NOT be read as "fresh checkpoint": that would silently
+        # discard resume state and re-run a 100 TB funnel from the
+        # scan — and bypass the config-mismatch refusal
+        raise
     out = {}
     for r in sorted(rows, key=lambda r: (r["finished"], r["started"])):
         out[r["stage"]] = (r["config_hash"], r["n_rows"], json.loads(r["meta"]))
@@ -207,7 +235,15 @@ def curate_corpus_resumable(
             g_obs, _count("n")
         ).write.mode("overwrite").parquet(groups_path)
         _crash_if("groups")
-        n_in, n_q, n3 = int(obs_in.get["n"]), int(obs_q.get["n"]), int(g_obs.get["n"])
+        n_in = _obs_n(obs_in, lambda: cur.count())
+        n_q = _obs_n(
+            obs_q,
+            lambda: TS.quality_gate(
+                cur, min_tokens=min_tokens, max_punct_ratio=max_punct_ratio,
+                text_col=text_col,
+            ).filter(F.col(id_col).isNotNull()).count(),
+        )
+        n3 = _obs_n(g_obs, lambda: spark.read.parquet(groups_path).count())
         _commit(spark, lineage_path, "groups", cfg, n3,
                 {"n_in": n_in, "n_q": n_q}, started)
         groups = spark.read.parquet(groups_path)
@@ -257,7 +293,8 @@ def curate_corpus_resumable(
             pairs_path
         )
         _crash_if("pairs")
-        _commit(spark, lineage_path, "pairs", cfg, int(p_obs.get["n"]), {}, started)
+        n_pairs = _obs_n(p_obs, lambda: spark.read.parquet(pairs_path).count())
+        _commit(spark, lineage_path, "pairs", cfg, n_pairs, {}, started)
         pairs = spark.read.parquet(pairs_path)
 
     # ---- stage 3: duplicate clusters ------------------------------
@@ -379,7 +416,7 @@ def curate_corpus_resumable(
         f_obs = Observation()
         out.observe(f_obs, _count("n")).write.mode("overwrite").parquet(docs_path)
         _crash_if("documents")
-        n_final = int(f_obs.get["n"])
+        n_final = _obs_n(f_obs, lambda: spark.read.parquet(docs_path).count())
         if sample_fraction is None and n_final != n5:
             raise RuntimeError(
                 f"funnel metrics anomaly: artifact-derived post-"

@@ -73,6 +73,11 @@ def start_decontamination_stream(
     """
     from latex_ocr_spark import cachepool
     from latex_ocr_spark.operators.dedup import decontaminate
+    from latex_ocr_spark.streaming.sinks import assert_idempotent_layout
+
+    if idempotent:
+        assert_idempotent_layout(spark, report_dir)
+        assert_idempotent_layout(spark, clean_dir)
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet").load(input_dir)

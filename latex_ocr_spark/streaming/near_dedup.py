@@ -46,17 +46,14 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from latex_ocr_spark.streaming.sinks import write_batch_idempotent
-
-DOCS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("text", T.StringType(), True),
-    ]
+from latex_ocr_spark.streaming.decontaminate import DOCS_STREAM_SCHEMA
+from latex_ocr_spark.streaming.sinks import (
+    assert_idempotent_layout,
+    write_batch_idempotent,
 )
 
 
@@ -64,8 +61,14 @@ def _index_exists(spark: SparkSession, path: str) -> bool:
     try:
         spark.read.parquet(path)
         return True
-    except Exception:
-        return False
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return False
+        # a transient/real read failure (permissions, corrupt footer)
+        # must FAIL the batch, not silently skip the all-history check
+        # — skipping would admit near-dups of every prior survivor
+        # into BOTH the output and the index, permanently
+        raise
 
 
 def start_near_dedup_stream(
@@ -88,11 +91,43 @@ def start_near_dedup_stream(
     ``_fail_batches`` injects a crash after the named batches' writes,
     before the checkpoint commit — the replay window the idempotent
     sinks exist for."""
+    import json
+
     from latex_ocr_spark import cachepool
     from latex_ocr_spark.operators import dedup as D
 
     sh_path = os.path.join(index_dir, "shingles")
     sig_path = os.path.join(index_dir, "signatures")
+    meta_path = os.path.join(index_dir, "_meta")
+
+    # the survivor index is only comparable under the knobs that built
+    # it: shingles depend on ngram, signatures on num_hashes, the drop
+    # decision on threshold/band_size.  A restart with different knobs
+    # would silently admit every near-dup (2-gram batch shingles never
+    # intersect stored 3-gram shingles) — fingerprint and refuse, the
+    # same contract plans/resumable.py applies to its checkpoint.
+    cfg = json.dumps(
+        {"threshold": threshold, "num_hashes": num_hashes,
+         "band_size": band_size, "ngram": ngram},
+        sort_keys=True,
+    )
+    try:
+        existing = spark.read.text(meta_path).first()[0]
+        if existing != cfg:
+            raise RuntimeError(
+                f"survivor index at {index_dir} was built under different "
+                f"knobs ({existing}) than this stream ({cfg}) — near-dup "
+                "checks across the two are meaningless; use a fresh index "
+                "dir (or rebuild) to change knobs"
+            )
+    except AnalysisException as e:
+        if not ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)):
+            raise
+        spark.createDataFrame([(cfg,)], "cfg string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(meta_path)
+
+    assert_idempotent_layout(spark, output_dir)
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet").load(input_dir)
@@ -133,7 +168,11 @@ def start_near_dedup_stream(
                 # duplicate-of-history (jaccard 1.0 with itself) and
                 # replace its output with an empty partition — data
                 # loss.  batch_id is the partition column, so this is
-                # partition pruning, not a scan-and-filter.
+                # partition pruning, not a scan-and-filter.  The same
+                # filter also makes a cache-evicted RECOMPUTE of the
+                # survivors frame safe after this function's own index
+                # appends land: the new partitions carry this batch_id
+                # and stay invisible to the re-read.
                 hist_sh = spark.read.parquet(sh_path).filter(
                     F.col("batch_id") != batch_id
                 )

@@ -24,10 +24,36 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BATCH_COL = "batch_id"
+
+
+def assert_idempotent_layout(spark: SparkSession, path: str) -> None:
+    """Refuse to mix the batch_id-partitioned layout into a PRE-EXISTING
+    plain-append sink directory: root-level part files next to
+    ``batch_id=N/`` partition dirs make the next read fail partition
+    discovery ("conflicting directory structures").  Streams call this
+    once at start — a legacy deployment keeps working by passing
+    ``idempotent=False``, or migrates by moving the old files under a
+    ``batch_id=-1/`` directory."""
+    try:
+        cols = spark.read.parquet(path).columns
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return  # fresh sink — fine
+        raise
+    if BATCH_COL not in cols:
+        raise RuntimeError(
+            f"output at {path} holds a plain-append (pre-idempotent) "
+            f"layout without a {BATCH_COL} partition column; writing "
+            "batch_id-partitioned data next to it would break partition "
+            "discovery on read.  Pass idempotent=False to keep the "
+            f"legacy layout, or move the existing files under "
+            f"{path}/{BATCH_COL}=-1/ to migrate"
+        )
 
 
 def write_batch_idempotent(df: DataFrame, batch_id: int, path: str) -> None:

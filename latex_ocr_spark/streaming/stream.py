@@ -51,7 +51,13 @@ def start_extraction_stream(
     under batch replay; dedup on read by row identity).
     """
     from latex_ocr_spark.operators.extract import extract_spans
-    from latex_ocr_spark.streaming.sinks import write_batch_idempotent
+    from latex_ocr_spark.streaming.sinks import (
+        assert_idempotent_layout,
+        write_batch_idempotent,
+    )
+
+    if idempotent:
+        assert_idempotent_layout(spark, output_dir)
 
     stream = read_transcript_stream(spark, input_dir)
 

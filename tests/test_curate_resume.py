@@ -171,3 +171,48 @@ def test_resumable_with_redact_and_sample_matches(spark, tmp_path):
         "decontaminate", "sample", "split",
     ]
     assert _table(res.documents) == _table(baseline.documents)
+
+
+def test_resumable_preserves_string_doc_ids(spark, tmp_path):
+    """String-id corpora (round-4 first-class) must survive resumable
+    mode too: every artifact stores the id at its own type, and the
+    resumed run reads them back without a silent long cast."""
+    rows = [(f"doc-{i:03d}", f"sa{i} sb{i*3} sc{i*7} sd{i*11} se{i*13}")
+            for i in range(12)]
+    rows.append(("doc-900", rows[0][1]))  # exact dup of doc-000
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    kw = dict(min_tokens=3, near_dup_method="jaccard", ngram=1,
+              val_fraction=0.3)
+    baseline = curate_corpus(docs, **kw)
+    cachepool.release()
+
+    ckpt = str(tmp_path / "sid")
+    res = curate_corpus_resumable(spark, docs, ckpt, **kw)
+    cachepool.release()
+    assert res.funnel == baseline.funnel
+    assert _table(res.documents) == _table(baseline.documents)
+    assert dict(spark.read.parquet(f"{ckpt}/documents").dtypes)["doc_id"] == "string"
+
+    # and a resume over the string-id checkpoint stays a no-op
+    again = curate_corpus_resumable(spark, docs, ckpt, **kw)
+    cachepool.release()
+    assert _table(again.documents) == _table(baseline.documents)
+
+
+def test_resumable_survives_degenerate_all_null_id_corpus(spark, tmp_path):
+    """Round-5 review finding (reproduced): a corpus whose every id is
+    NULL (the mis-typed-JSONL-schema accident) empties the spine at
+    runtime, AQE skips observed branches, and Observation.get cannot
+    convert the schema-less result — resumable mode must fall back to
+    true counts like curate_corpus does, not crash."""
+    docs = spark.createDataFrame(
+        [(None, f"da{i} db{i*3} dc{i*7} dd{i*11} de{i*13}") for i in range(15)],
+        "doc_id long, text string",
+    )
+    baseline = curate_corpus(docs, **KW)
+    cachepool.release()
+    res = curate_corpus_resumable(spark, docs, str(tmp_path / "deg"), **KW)
+    cachepool.release()
+    assert res.funnel == baseline.funnel
+    assert res.funnel_dict()["quality_gates"] == (15, 0)
+    assert res.documents.count() == 0

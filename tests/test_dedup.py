@@ -321,3 +321,20 @@ def test_star_clusters_match_propagation_on_registry_pairs(spark, sf_small):
     star = {r.id: r.cluster_id for r in duplicate_clusters_star(pairs).collect()}
     assert star == prop and star
     cachepool.release()
+
+
+def test_star_clusters_keep_self_loop_singletons(spark):
+    """Same-output contract edge case (round-5 review): a pairs frame
+    containing a self-loop (a, a) yields the singleton cluster (a, a)
+    from propagation — star contraction must emit it too."""
+    from latex_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "a_id long, b_id long"
+    )
+    prop = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    star = {r.id: r.cluster_id for r in duplicate_clusters_star(pairs).collect()}
+    assert star == prop == {7: 7, 1: 1, 2: 1}

@@ -55,3 +55,25 @@ def test_stream_matches_batch_and_resumes(spark, dirs):
     q = start_extraction_stream(spark, inp, out, ckpt, available_now=True)
     q.awaitTermination(120)
     assert _spans_set(read_stream_output(spark, out)) == got2
+
+
+def test_idempotent_sink_refuses_legacy_append_layout(spark, tmp_path):
+    """A pre-idempotent deployment has root-level part files in its
+    output dir; writing batch_id=N/ partitions next to them would break
+    partition discovery on the NEXT read — the stream must refuse at
+    start with a migration hint instead (idempotent=False keeps the
+    legacy behavior)."""
+    import pytest
+
+    from latex_ocr_spark.streaming.sinks import assert_idempotent_layout
+
+    legacy = str(tmp_path / "legacy_out")
+    spark.range(5).selectExpr(
+        "concat('c', id) AS conv_id", "CAST(id AS INT) AS turn_idx",
+        "0 AS span_idx", "'x' AS raw_match", "'x' AS latex_norm"
+    ).write.mode("overwrite").parquet(legacy)
+
+    with pytest.raises(RuntimeError, match="plain-append"):
+        assert_idempotent_layout(spark, legacy)
+    # fresh and already-partitioned sinks pass
+    assert_idempotent_layout(spark, str(tmp_path / "fresh"))

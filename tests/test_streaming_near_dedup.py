@@ -121,3 +121,18 @@ def test_replayed_batch_keeps_survivors_exactly_once(spark, dirs):
     idx = spark.read.parquet(f"{dirs}/index/signatures").select("id").collect()
     assert len(idx) == len({r.id for r in idx}) == 20
     cachepool.release()
+
+
+def test_index_config_fingerprint_refuses_knob_drift(spark, dirs):
+    """A survivor index built under one similarity config must refuse a
+    restart under another — comparing 2-gram batch shingles against a
+    3-gram index would silently admit every near-dup of history."""
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    with pytest.raises(RuntimeError, match="different knobs"):
+        start_near_dedup_stream(
+            spark, f"{dirs}/in", f"{dirs}/out", f"{dirs}/index",
+            f"{dirs}/ckpt", **{**KW, "ngram": 2},
+        )
+    cachepool.release()
