@@ -73,6 +73,15 @@ def main() -> int:
                          "broadcasts of the dropped-id/cluster frames "
                          "(AQE decides; avoids executor OOM when 20-30%% "
                          "of docs sit in dup groups)")
+    ap.add_argument("--auto-knobs", action="store_true",
+                    help="pre-flight survey the input and fill every "
+                         "blowup/recall knob left at its default "
+                         "(operators/advisor.py; explicit non-default "
+                         "flags win)")
+    ap.add_argument("--auto-knobs-sample", type=float,
+                    help="survey on this deterministic sample fraction "
+                         "instead of the full input (0.01-0.001 at "
+                         "corpus scale)")
     ap.add_argument("--checkpoint-dir",
                     help="make the funnel checkpoint-resumable "
                          "(plans/resumable.py): stage artifacts + lineage "
@@ -121,6 +130,13 @@ def main() -> int:
     evalset = (
         load_docs(args.evalset, args.evalset_format) if args.evalset else None
     )
+    if args.auto_knobs:
+        from latex_ocr_spark.operators.advisor import resolve_auto_knobs
+
+        applied = resolve_auto_knobs(
+            docs, args, ap, sample_fraction=args.auto_knobs_sample
+        )
+        print(json.dumps({"auto_knobs": applied}), file=sys.stderr)
     kw = dict(
         min_tokens=args.min_tokens,
         max_punct_ratio=args.max_punct_ratio,

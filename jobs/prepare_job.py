@@ -148,6 +148,15 @@ def main() -> int:
     ap.add_argument("--seed", default="split-seed-1")
     ap.add_argument("--high-dup-rate", action="store_true")
     # training-prep knobs
+    ap.add_argument("--auto-knobs", action="store_true",
+                    help="pre-flight survey the input and fill every "
+                         "blowup/recall knob left at its default "
+                         "(operators/advisor.py; explicit non-default "
+                         "flags win)")
+    ap.add_argument("--auto-knobs-sample", type=float,
+                    help="survey on this deterministic sample fraction "
+                         "instead of the full input (0.01-0.001 at "
+                         "corpus scale)")
     ap.add_argument("--budget", type=int, default=2048,
                     help="token budget per pack")
     ap.add_argument("--max-seq-len", type=int,
@@ -198,6 +207,13 @@ def main() -> int:
     evalset = (
         load_docs(args.evalset, args.evalset_format) if args.evalset else None
     )
+    if args.auto_knobs:
+        from latex_ocr_spark.operators.advisor import resolve_auto_knobs
+
+        applied = resolve_auto_knobs(
+            docs, args, ap, sample_fraction=args.auto_knobs_sample
+        )
+        print(json.dumps({"auto_knobs": applied}), file=sys.stderr)
 
     packed, res = prepare_tables(spark, docs, evalset, args)
 

@@ -132,3 +132,31 @@ def suggest_knobs(survey_row) -> dict:
         "num_hashes": 16 if heavy_dup else 8,
         "min_tokens": 5 if survey_row["token_percentiles"][0] >= 5 else 2,
     }
+
+
+def resolve_auto_knobs(docs, args, parser, sample_fraction: Optional[float] = None) -> dict:
+    """CLI glue for ``--auto-knobs`` (curate_job / prepare_job): survey
+    the input once and fill in every blowup/recall knob the user left
+    at its parser default — an explicitly passed NON-default value
+    always wins over the recommendation.  Returns {knob: value} of
+    what was applied, for the job to log.
+
+    Only the cap matching the chosen near-dup method is applied
+    (``max_df`` for 'jaccard', ``max_bucket_size`` for 'lsh') — the
+    other must stay None or curate_corpus raises by design."""
+    row = survey_corpus(docs, sample_fraction=sample_fraction).first()
+    rec = suggest_knobs(row)
+    applied = {}
+
+    def maybe(name, value):
+        if getattr(args, name) == parser.get_default(name):
+            setattr(args, name, value)
+            applied[name] = value
+
+    maybe("min_tokens", rec["min_tokens"])
+    maybe("num_hashes", rec["num_hashes"])
+    if args.near_dup_method == "jaccard":
+        maybe("max_df", rec["max_df"])
+    else:
+        maybe("max_bucket_size", rec["max_bucket_size"])
+    return applied

@@ -83,3 +83,29 @@ def test_survey_caps_feed_the_dedup_guards(spark):
     pairs_uncapped = jaccard_pairs(docs, threshold=0.3, ngram=1, max_df=1000).count()
     cachepool.release()
     assert pairs_capped <= pairs_uncapped
+
+
+def test_auto_knobs_cli_end_to_end(tmp_path):
+    """--auto-knobs: the job surveys its input, applies recommendations
+    to knobs left at defaults, logs them, and completes."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/jobs/curate_job.py",
+         "--synth", "40", "--output", out,
+         "--near-dup-method", "jaccard", "--auto-knobs",
+         # explicit non-default: must survive the advisor untouched
+         "--min-tokens", "3"],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    applied_line = [l for l in r.stderr.splitlines() if "auto_knobs" in l][-1]
+    applied = json.loads(applied_line)["auto_knobs"]
+    assert "max_df" in applied and applied["max_df"] >= 100
+    assert "num_hashes" in applied
+    assert "min_tokens" not in applied  # explicitly set -> not overridden
+    funnel = json.loads(r.stdout.strip().splitlines()[-1])
+    assert funnel["split"]["out"] == 40

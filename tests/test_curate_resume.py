@@ -216,3 +216,19 @@ def test_resumable_survives_degenerate_all_null_id_corpus(spark, tmp_path):
     assert res.funnel == baseline.funnel
     assert res.funnel_dict()["quality_gates"] == (15, 0)
     assert res.documents.count() == 0
+
+
+def test_resumable_matches_curate_on_sf_documents(spark, tmp_path, sf_small):
+    """Beyond planted fixtures: on the driver-provided sf0.001
+    documents table with the LSH default path, resumable == single-pass
+    — funnel and final split table both."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(min_tokens=3, near_dup_method="lsh", ngram=3, val_fraction=0.1)
+    baseline = curate_corpus(docs, **kw)
+    cachepool.release()
+    res = curate_corpus_resumable(spark, docs, str(tmp_path / "sf"), **kw)
+    cachepool.release()
+    assert res.funnel == baseline.funnel
+    assert _table(res.documents) == _table(baseline.documents)
