@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from latex_ocr_spark.streaming.decontaminate import DOCS_STREAM_SCHEMA
 from latex_ocr_spark.streaming.sinks import (
+    BATCH_COL,
     assert_idempotent_layout,
     write_batch_idempotent,
 )
@@ -225,3 +226,50 @@ def start_near_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32) -> dict:
+    """Offline maintenance for the survivor index: fold the
+    accumulated per-batch partitions into one ``batch_id=-1`` partition
+    per table, dropping any duplicate rows (repeated compaction is
+    idempotent).  Thousands of tiny batch partitions make every
+    micro-batch's history scan open thousands of files; compaction
+    restores O(num_partitions) files without changing the read path —
+    the stream's ``batch_id != current`` filter keeps -1 partitions
+    visible forever (real batch ids are never negative).
+
+    CONTRACT: run only after a CLEAN stream shutdown (last batch's
+    checkpoint committed).  Compacting while a crashed batch awaits
+    replay would fold its partial rows into -1, and the replay would
+    then re-add them under their own batch id — duplicate index rows
+    double intersection counts and corrupt the verify Jaccard.
+
+    Returns {"shingles": n_rows, "signatures": n_rows} after compaction.
+
+    The swap uses local filesystem renames; on an object store run the
+    same write-then-swap through the Hadoop FileSystem API (or compact
+    into a NEW index dir and repoint the stream) — the read path is
+    identical either way.
+    """
+    out = {}
+    for sub, keys in (("shingles", ["id", "shingle"]), ("signatures", ["id"])):
+        path = os.path.join(index_dir, sub)
+        staging = os.path.join(index_dir, f"_compact_{sub}")
+        compacted = (
+            spark.read.parquet(path)
+            .drop(BATCH_COL)
+            .dropDuplicates(keys)
+            .repartition(num_partitions)
+            .withColumn(BATCH_COL, F.lit(-1))
+        )
+        # write-then-swap: the source partitions are read fully before
+        # the staging write commits, and the swap is two renames — a
+        # crash between them leaves either the old table or the staged
+        # copy, never a half-table
+        compacted.write.mode("overwrite").partitionBy(BATCH_COL).parquet(staging)
+        out[sub] = spark.read.parquet(staging).count()
+        import shutil as _shutil
+
+        _shutil.rmtree(path)
+        _shutil.move(staging, path)
+    return out

@@ -136,3 +136,32 @@ def test_index_config_fingerprint_refuses_knob_drift(spark, dirs):
             f"{dirs}/ckpt", **{**KW, "ngram": 2},
         )
     cachepool.release()
+
+
+def test_index_compaction_preserves_dedup_behavior(spark, dirs):
+    """compact_index folds the per-batch partitions into batch_id=-1,
+    drops duplicate rows, and the compacted history still suppresses
+    later near-dups exactly as before (the stream's != filter keeps -1
+    visible forever)."""
+    import glob
+
+    from latex_ocr_spark.streaming.near_dedup import compact_index
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+
+    stats = compact_index(spark, f"{dirs}/index", num_partitions=2)
+    assert stats["signatures"] == 20
+    # exactly one partition dir left per table
+    parts = glob.glob(f"{dirs}/index/signatures/batch_id=*")
+    assert [p.split("=")[-1] for p in parts] == ["-1"]
+    # idempotent: compacting again changes nothing
+    assert compact_index(spark, f"{dirs}/index", num_partitions=2) == stats
+
+    # history checks still work over the compacted index
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    got = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
+    assert got == sorted(list(range(20)) + [200 + i for i in range(10)])
+    cachepool.release()
