@@ -232,3 +232,46 @@ def test_resumable_matches_curate_on_sf_documents(spark, tmp_path, sf_small):
     cachepool.release()
     assert res.funnel == baseline.funnel
     assert _table(res.documents) == _table(baseline.documents)
+
+
+def test_resumable_matches_curate_on_random_corpora(spark, tmp_path):
+    """Randomized parity: over corpora with random dup/junk/
+    contamination mixes, resumable mode must equal the single-pass
+    funnel in both counts and final table — the fuzz analog of the
+    planted-fixture equality tests."""
+    import random
+
+    rng = random.Random(23)
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    evalset = spark.createDataFrame([(-1, eval_text)], "doc_id long, text string")
+    for trial in range(2):
+        rows = []
+        for i in range(rng.randint(25, 50)):
+            r = rng.random()
+            if r < 0.15 and rows:
+                rows.append((1000 + i, rows[rng.randrange(len(rows))][1]))
+            elif r < 0.2 and rows:
+                src = rows[rng.randrange(len(rows))][1]
+                toks = src.split()
+                toks[rng.randrange(len(toks))] = f"mut{i}"
+                rows.append((1000 + i, " ".join(toks)))
+            elif r < 0.25:
+                rows.append((1000 + i, eval_text))
+            elif r < 0.35:
+                rows.append((1000 + i, f"x{i}"))
+            else:
+                rows.append(
+                    (1000 + i,
+                     f"w{i} a{i*3} b{i*5} c{i*7} d{i*11} e{i*13} f{i*17}")
+                )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(min_tokens=3, dedup_threshold=0.5,
+                  near_dup_method="jaccard", ngram=1, val_fraction=0.4)
+        baseline = curate_corpus(docs, evalset, **kw)
+        cachepool.release()
+        res = curate_corpus_resumable(
+            spark, docs, str(tmp_path / f"fz{trial}"), evalset, **kw
+        )
+        cachepool.release()
+        assert res.funnel == baseline.funnel, trial
+        assert _table(res.documents) == _table(baseline.documents), trial
