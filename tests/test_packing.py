@@ -225,3 +225,38 @@ def test_grouped_packing_with_one_group_equals_ungrouped(spark):
                                 num_partitions=4).collect()
     }
     assert grouped == plain
+
+
+def test_grouped_packing_property_fuzz(spark):
+    """Property fuzz over random (sizes, groups) corpora: every
+    invariant of the grouped packer holds — full coverage, per-group
+    pack purity, globally unique contiguous offsets, budget ceiling —
+    for any mix of group skew and size distribution."""
+    import random
+
+    rng = random.Random(41)
+    for trial in range(3):
+        budget = rng.choice([64, 257, 1024])
+        n = rng.randint(50, 300)
+        groups = [f"g{rng.randrange(rng.randint(1, 4))}" for _ in range(n)]
+        sizes = [rng.randint(1, budget) for _ in range(n)]
+        docs = spark.createDataFrame(
+            [(i, sizes[i], groups[i]) for i in range(n)],
+            "doc_id long, n_tokens long, grp string",
+        )
+        rows = pack_sequences(
+            docs, budget, num_partitions=rng.choice([1, 3, 8]),
+            group_col="grp",
+        ).collect()
+        assert len(rows) == n and all(r.pack_error is None for r in rows)
+        packs = {}
+        for r in rows:
+            packs.setdefault(r.pack_id, []).append(r)
+        for members in packs.values():
+            assert len({m.grp for m in members}) == 1, trial
+            members.sort(key=lambda m: m.pack_offset)
+            pos = 0
+            for m in members:
+                assert m.pack_offset == pos, trial
+                pos += m.n_tokens
+            assert pos <= budget, trial
