@@ -136,7 +136,13 @@ _BYTES_SLACK_FLOOR = 1 << 20  # ignore <1 MiB jitter outright
 
 
 def latest_bench_json(repo_dir: str | None = None) -> tuple[str, dict] | None:
-    """(path, parsed) of the highest-numbered committed BENCH_r*.json."""
+    """(path, parsed) of the highest-numbered committed BENCH_r*.json.
+
+    A driver artifact whose final-line parse failed carries
+    ``"parsed": null`` (round 5's report line outgrew the driver's
+    ~2 KB tail window); in that case the wrapper dict itself is
+    returned so callers still get SOMETHING dict-shaped — use
+    :func:`plan_cost_baseline` when you need per-query plan costs."""
     import glob
     import re
 
@@ -151,7 +157,53 @@ def latest_bench_json(repo_dir: str | None = None) -> tuple[str, dict] | None:
     with open(best[1]) as f:
         data = json.load(f)
     # the driver wraps this script's JSON line under "parsed"
-    return best[1], data.get("parsed", data) if isinstance(data, dict) else data
+    if isinstance(data, dict):
+        parsed = data.get("parsed", data)
+        return best[1], parsed if isinstance(parsed, dict) else data
+    return best[1], data
+
+
+def current_round(repo_dir: str | None = None) -> int:
+    """The round this invocation belongs to: one past the highest
+    committed BENCH_r*.json (the driver commits the artifact AFTER the
+    round's bench runs, so during round N the max on disk is N-1)."""
+    import glob
+    import re
+
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def plan_cost_baseline(repo_dir: str | None = None) -> tuple[str, dict] | None:
+    """(label, {query: plan_cost, '_sf': sf}) from the most recent
+    PARSEABLE prior round: prefer the full report file this script now
+    writes (BENCH/report_rNN.json), else the driver artifact's parsed
+    line — skipping rounds whose artifact is head-truncated
+    (``parsed: null``, the round-5 failure mode).  Walking back keeps
+    the cross-round plan-regression gate alive across a lost round."""
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    for rnd in range(current_round(repo_dir) - 1, 0, -1):
+        for path in (
+            os.path.join(repo_dir, "BENCH", f"report_r{rnd:02d}.json"),
+            os.path.join(repo_dir, f"BENCH_r{rnd:02d}.json"),
+        ):
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                data = json.load(f)
+            parsed = data.get("parsed", data) if isinstance(data, dict) else None
+            if isinstance(parsed, dict) and isinstance(
+                parsed.get("plan_cost"), dict
+            ):
+                return os.path.basename(path), {
+                    "plan_cost": parsed["plan_cost"], "sf": parsed.get("sf")
+                }
+    return None
 
 
 def diff_plan_cost(prev: dict, cur: dict, allow: dict | None = None) -> list:
@@ -195,6 +247,13 @@ CROSS_SF_FACTOR = int(os.environ.get("SPARK_GRAFT_CROSS_SF_FACTOR", "10"))
 CROSS_SF_QUERIES = [
     "dedup_exact", "dedup_simhash", "dedup_lsh_jaccard", "dedup_decontaminate",
 ]
+#: second scale point (new r6): a quadratic term with a small constant
+#: hides inside the ×1.3 slack at 10× but not at 100× — run the two
+#: cheapest family members at 100× to catch it (the expensive members
+#: would take minutes at 100×; their 10× gate plus these two sentinels
+#: sharing the same shingle/groupBy machinery covers the family)
+CROSS_SF_FACTOR_2 = int(os.environ.get("SPARK_GRAFT_CROSS_SF_FACTOR_2", "100"))
+CROSS_SF_QUERIES_2 = ["dedup_exact", "dedup_simhash"]
 #: query name -> reason, for intentional super-linear growth
 CROSS_SF_ALLOW: dict[str, str] = {}
 _CROSS_SF_SLACK = 1.3  # growth ratio beyond factor × this flags
@@ -236,23 +295,23 @@ def _ensure_cross_sf_docs(spark, sf_dir: str, factor: int) -> str:
     return out
 
 
-def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
-    """Run the dedup family + funnel at ``CROSS_SF_FACTOR``× the bench
-    sf and gate shuffle-bytes growth at ~linear (see module comment).
-    ``base_cost`` is this same invocation's per-query plan cost at 1×,
-    so the check is self-contained — no cross-round artifact needed."""
+def _cross_sf_pass(
+    spark, sf_dir: str, base_cost: dict, factor: int, names: list
+) -> dict:
+    """One scale point: run ``names`` on the ``factor``× table and
+    gate each query's shuffle-bytes growth vs its 1× cost."""
     from latex_ocr_spark import cachepool
     from latex_ocr_spark.plans.registry import QUERIES
 
     # the registry queries load <sf_dir>/documents.parquet — the
-    # synthetic 10× directory plays the sf_dir role directly
-    big_dir = _ensure_cross_sf_docs(spark, sf_dir, CROSS_SF_FACTOR)
+    # synthetic factor× directory plays the sf_dir role directly
+    big_dir = _ensure_cross_sf_docs(spark, sf_dir, factor)
     n_docs = spark.read.parquet(
         os.path.join(big_dir, "documents.parquet")
     ).count()
     queries = {}
     regressions = []
-    for name in CROSS_SF_QUERIES:
+    for name in names:
         cachepool.release()
         marker = _exec_marker(spark)
         t0 = time.time()
@@ -267,14 +326,29 @@ def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
             if (
                 name not in CROSS_SF_ALLOW
                 and cost["shuffle_bytes"] > (1 << 20)
-                and growth > CROSS_SF_FACTOR * _CROSS_SF_SLACK
+                and growth > factor * _CROSS_SF_SLACK
             ):
                 regressions.append(
                     {"query": name, "metric": "shuffle_bytes_growth",
-                     "factor": CROSS_SF_FACTOR, "growth": round(growth, 2)}
+                     "factor": factor, "growth": round(growth, 2)}
                 )
         queries[name] = entry
     cachepool.release()
+    return {"big_dir": big_dir, "n_docs": n_docs, "queries": queries,
+            "regressions": regressions}
+
+
+def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
+    """Run the dedup family + funnel at ``CROSS_SF_FACTOR``× the bench
+    sf — plus the two cheapest members at ``CROSS_SF_FACTOR_2``× — and
+    gate shuffle-bytes growth at ~linear (see module comment).
+    ``base_cost`` is this same invocation's per-query plan cost at 1×,
+    so the check is self-contained — no cross-round artifact needed."""
+    from latex_ocr_spark import cachepool
+
+    p1 = _cross_sf_pass(spark, sf_dir, base_cost, CROSS_SF_FACTOR, CROSS_SF_QUERIES)
+    big_dir, n_docs = p1["big_dir"], p1["n_docs"]
+    queries, regressions = p1["queries"], p1["regressions"]
 
     marker = _exec_marker(spark)
     t0 = time.time()
@@ -299,10 +373,19 @@ def run_cross_sf(spark, sf_dir: str, base_cost: dict) -> dict:
                  "factor": CROSS_SF_FACTOR, "growth": round(growth, 2)}
             )
     cachepool.release()
+
+    p2 = _cross_sf_pass(
+        spark, sf_dir, base_cost, CROSS_SF_FACTOR_2, CROSS_SF_QUERIES_2
+    )
+    regressions += p2["regressions"]
     return {
         "factor": CROSS_SF_FACTOR,
+        "factors": [CROSS_SF_FACTOR, CROSS_SF_FACTOR_2],
         "n_docs": n_docs,
         "queries": queries,
+        f"factor{CROSS_SF_FACTOR_2}": {
+            "n_docs": p2["n_docs"], "queries": p2["queries"]
+        },
         "regressions": regressions,
     }
 
@@ -470,18 +553,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # diff only against a same-scale baseline: broadcast/exchange choices
     # legitimately differ across sf, so a cross-sf comparison would flag
-    # scale effects as regressions (or mask real ones)
+    # scale effects as regressions (or mask real ones).  The baseline
+    # walks back past unparseable rounds (r5's truncated artifact).
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    prev = latest_bench_json()
+    prev = plan_cost_baseline()
     regressions = (
-        diff_plan_cost(prev[1].get("plan_cost", {}), plan_cost)
+        diff_plan_cost(prev[1]["plan_cost"], plan_cost)
         if prev and str(prev[1].get("sf")) == sf_tag
         else []
     )
     if regressions:
         print(
-            f"PLAN-COST REGRESSIONS vs {os.path.basename(prev[0])}: "
-            + json.dumps(regressions),
+            f"PLAN-COST REGRESSIONS vs {prev[0]}: " + json.dumps(regressions),
             file=sys.stderr,
         )
 
@@ -659,6 +742,43 @@ def _write_baseline_md(scaling: dict) -> None:
         )
 
 
+#: the driver's stdout tail-capture window is ~2000 chars and it
+#: parses the LAST line — round 5 lost its headline because the full
+#: report (plan_cost + cross_sf) outgrew it.  The final line is now a
+#: compact headline guaranteed under this budget; the full report goes
+#: to BENCH/report_r{N}.json.
+_HEADLINE_BYTE_BUDGET = 1800
+
+
+def compact_headline(full: dict, report_path: str) -> dict:
+    """Headline-only view of a run_bench() report, guaranteed to
+    serialize under ``_HEADLINE_BYTE_BUDGET`` bytes: value + per-query
+    wall seconds + regression VERDICTS inline (counts + names), with
+    the per-query plan costs and cross-sf details left to the report
+    file.  Detail fields are dropped largest-first if the line would
+    still overflow (pathologically long regression lists)."""
+    cross = full.get("cross_sf") or {}
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "n_turns": full["n_turns"],
+        "cpus": full["cpus"],
+        "total_sec": full["total_sec"],
+        "plan_regressions": full.get("plan_regressions", []),
+        "cross_sf_regressions": cross.get("regressions", []),
+        "cross_sf_factors": cross.get("factors"),
+        "report": report_path,
+    }
+    for drop in ("plan_regressions", "cross_sf_regressions", "queries"):
+        if len(json.dumps(out)) <= _HEADLINE_BYTE_BUDGET:
+            break
+        out[drop + "_n"] = len(out.pop(drop))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -677,7 +797,16 @@ def main() -> None:
         _write_baseline_md(result)
         print(json.dumps(result))
         return
-    print(json.dumps(run_bench(args.sf_dir, args.cores)))
+    full = run_bench(args.sf_dir, args.cores)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    report_rel = os.path.join("BENCH", f"report_r{current_round(repo):02d}.json")
+    report_path = os.path.join(repo, report_rel)
+    os.makedirs(os.path.dirname(report_path), exist_ok=True)
+    with open(report_path, "w") as f:
+        json.dump(full, f, indent=1)
+    line = json.dumps(compact_headline(full, report_rel))
+    assert len(line) <= _HEADLINE_BYTE_BUDGET, len(line)
+    print(line)
 
 
 if __name__ == "__main__":
