@@ -72,6 +72,52 @@ def _index_exists(spark: SparkSession, path: str) -> bool:
         raise
 
 
+#: compaction's rename-aside name for a table's pre-swap copy
+def _bak_path(index_dir: str, sub: str) -> str:
+    return os.path.join(index_dir, f"_bak_{sub}")
+
+
+def _staging_path(index_dir: str, sub: str) -> str:
+    return os.path.join(index_dir, f"_compact_{sub}")
+
+
+def recover_compaction(index_dir: str) -> list:
+    """Finish or roll back a compaction interrupted mid-swap; returns
+    the actions taken (for logging/tests).  The swap order is
+    staging-write → move(table, bak) → move(staging, table) →
+    rm(bak), so every crash window is recoverable:
+
+    - bak present + table present  → the forward swap completed (or
+      never started past the staging write): drop bak (+ stale staging).
+    - bak present + table missing  → crashed between the two moves:
+      staging holds the complete compacted copy — finish the swap;
+      if staging is somehow gone too, roll bak back.
+    - staging present, no bak      → crashed before the swap began:
+      drop the stale staging dir.
+    """
+    import shutil as _shutil
+
+    actions = []
+    for sub in ("shingles", "signatures"):
+        table = os.path.join(index_dir, sub)
+        bak, staging = _bak_path(index_dir, sub), _staging_path(index_dir, sub)
+        if os.path.exists(bak):
+            if os.path.exists(table):
+                _shutil.rmtree(bak)
+                actions.append(f"{sub}: dropped completed-swap bak")
+            elif os.path.exists(staging):
+                _shutil.move(staging, table)
+                _shutil.rmtree(bak)
+                actions.append(f"{sub}: finished interrupted swap from staging")
+            else:
+                _shutil.move(bak, table)
+                actions.append(f"{sub}: rolled back to pre-compaction table")
+        if os.path.exists(staging):
+            _shutil.rmtree(staging)
+            actions.append(f"{sub}: dropped stale staging")
+    return actions
+
+
 def start_near_dedup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -127,6 +173,36 @@ def start_near_dedup_stream(
         spark.createDataFrame([(cfg,)], "cfg string").coalesce(1).write.mode(
             "overwrite"
         ).text(meta_path)
+
+    # a half-index means an interrupted compaction (or manual damage):
+    # shingles and signatures are written together by every batch, so
+    # exactly one existing is NEVER "no history yet" — treating it so
+    # would skip the all-history check and permanently admit near-dups
+    # of every prior survivor.  Fail loudly and point at the repair.
+    residue = [
+        p
+        for sub in ("shingles", "signatures")
+        for p in (_bak_path(index_dir, sub), _staging_path(index_dir, sub))
+        if os.path.exists(p)
+    ]
+    if residue:
+        raise RuntimeError(
+            f"survivor index at {index_dir} has compaction swap residue "
+            f"({', '.join(os.path.basename(p) for p in residue)}) — an "
+            "interrupted compact_index; run recover_compaction(index_dir) "
+            "(or compact_index, which recovers first) before streaming"
+        )
+    have = {
+        sub: _index_exists(spark, os.path.join(index_dir, sub))
+        for sub in ("shingles", "signatures")
+    }
+    if have["shingles"] != have["signatures"]:
+        present = [s for s, h in have.items() if h][0]
+        raise RuntimeError(
+            f"survivor index at {index_dir} is half-present (only "
+            f"'{present}' exists) — refusing to treat it as empty; "
+            "restore the missing table or start a fresh index dir"
+        )
 
     assert_idempotent_layout(spark, output_dir)
 
@@ -246,15 +322,28 @@ def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32)
 
     Returns {"shingles": n_rows, "signatures": n_rows} after compaction.
 
-    The swap uses local filesystem renames; on an object store run the
-    same write-then-swap through the Hadoop FileSystem API (or compact
-    into a NEW index dir and repoint the stream) — the read path is
-    identical either way.
+    The swap is rename-aside: staging-write → move(table, bak) →
+    move(staging, table) → rm(bak).  A crash at ANY point leaves either
+    the old table, or the bak + complete staging pair — never a missing
+    table (the original rmtree-then-move swap had a no-table window
+    that the stream's "missing index = no history yet" read would have
+    treated as an EMPTY index, silently admitting near-dups of every
+    pre-compaction survivor).  :func:`recover_compaction` runs first
+    and finishes/rolls back any interrupted swap; the stream refuses to
+    start while swap residue or a half-index exists.
+
+    Renames are local-filesystem here; on an object store run the same
+    sequence through the Hadoop FileSystem API (or compact into a NEW
+    index dir and repoint the stream) — the read path is identical.
     """
+    import shutil as _shutil
+
+    recover_compaction(index_dir)
     out = {}
     for sub, keys in (("shingles", ["id", "shingle"]), ("signatures", ["id"])):
         path = os.path.join(index_dir, sub)
-        staging = os.path.join(index_dir, f"_compact_{sub}")
+        staging = _staging_path(index_dir, sub)
+        bak = _bak_path(index_dir, sub)
         compacted = (
             spark.read.parquet(path)
             .drop(BATCH_COL)
@@ -262,14 +351,11 @@ def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32)
             .repartition(num_partitions)
             .withColumn(BATCH_COL, F.lit(-1))
         )
-        # write-then-swap: the source partitions are read fully before
-        # the staging write commits, and the swap is two renames — a
-        # crash between them leaves either the old table or the staged
-        # copy, never a half-table
+        # the source partitions are read fully before the staging
+        # write commits (no read-own-write hazard)
         compacted.write.mode("overwrite").partitionBy(BATCH_COL).parquet(staging)
         out[sub] = spark.read.parquet(staging).count()
-        import shutil as _shutil
-
-        _shutil.rmtree(path)
+        _shutil.move(path, bak)
         _shutil.move(staging, path)
+        _shutil.rmtree(bak)
     return out

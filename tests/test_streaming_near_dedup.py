@@ -165,3 +165,90 @@ def test_index_compaction_preserves_dedup_behavior(spark, dirs):
     got = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
     assert got == sorted(list(range(20)) + [200 + i for i in range(10)])
     cachepool.release()
+
+
+def test_compaction_crash_windows_never_lose_the_index(spark, dirs):
+    """Every crash point inside compact_index's rename-aside swap must
+    leave a recoverable state: the original swap (rmtree then move) had
+    a no-table window that the stream's 'missing index = no history
+    yet' read would treat as an EMPTY index — permanently admitting
+    near-dups of every pre-compaction survivor."""
+    import os
+    import shutil as sh
+
+    from latex_ocr_spark.streaming.near_dedup import (
+        compact_index,
+        recover_compaction,
+    )
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    idx = f"{dirs}/index"
+    sig, bak, staging = (
+        f"{idx}/signatures", f"{idx}/_bak_signatures", f"{idx}/_compact_signatures"
+    )
+
+    # window A: crash right after move(table, bak) — table missing,
+    # bak + complete staging present.  Recovery finishes the swap.
+    sh.copytree(sig, staging)  # stands in for the staged compacted copy
+    sh.move(sig, bak)
+    assert not os.path.exists(sig)
+    actions = recover_compaction(idx)
+    assert any("finished interrupted swap" in a for a in actions)
+    assert os.path.exists(sig) and not os.path.exists(bak)
+    assert spark.read.parquet(sig).select("id").distinct().count() == 20
+
+    # window B: crash after move(staging, table), before rm(bak) —
+    # both present.  Recovery drops the bak.
+    sh.copytree(sig, bak)
+    actions = recover_compaction(idx)
+    assert any("completed-swap bak" in a for a in actions)
+    assert os.path.exists(sig) and not os.path.exists(bak)
+
+    # window C: crash before any rename — stale staging only.
+    sh.copytree(sig, staging)
+    actions = recover_compaction(idx)
+    assert any("stale staging" in a for a in actions)
+    assert not os.path.exists(staging)
+
+    # compact_index itself recovers residue first, then compacts
+    sh.copytree(sig, staging)
+    stats = compact_index(spark, idx, num_partitions=2)
+    assert stats["signatures"] == 20
+    cachepool.release()
+
+    # degenerate: bak present, table AND staging both gone (manual
+    # damage) — recovery rolls the bak back
+    sh.move(sig, bak)
+    actions = recover_compaction(idx)
+    assert any("rolled back" in a for a in actions)
+    assert os.path.exists(sig)
+
+
+def test_stream_refuses_half_index_and_swap_residue(spark, dirs):
+    """Exactly one of shingles/signatures existing is NEVER 'no history
+    yet' (batches write both together) — the stream must fail loudly
+    instead of skipping the all-history check; likewise for leftover
+    compaction residue."""
+    import os
+    import shutil as sh
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    idx = f"{dirs}/index"
+
+    sh.copytree(f"{idx}/signatures", f"{idx}/_bak_signatures")
+    with pytest.raises(RuntimeError, match="swap residue"):
+        start_near_dedup_stream(
+            spark, f"{dirs}/in", f"{dirs}/out", idx, f"{dirs}/ckpt", **KW
+        )
+    sh.rmtree(f"{idx}/_bak_signatures")
+
+    sh.rmtree(f"{idx}/signatures")
+    assert os.path.exists(f"{idx}/shingles")
+    with pytest.raises(RuntimeError, match="half-present"):
+        start_near_dedup_stream(
+            spark, f"{dirs}/in", f"{dirs}/out", idx, f"{dirs}/ckpt", **KW
+        )
