@@ -76,9 +76,12 @@ def survey_corpus(
         ).alias("token_percentiles"),
         F.count_distinct("text_hash").alias("n_distinct_texts"),
     ).withColumn(
+        # try_divide: an EMPTY survey (0 docs sampled) yields NULL
+        # instead of an ANSI divide-by-zero — suggest_knobs turns that
+        # into a clear "survey saw no shingles" diagnostic
         "exact_dup_rate",
         F.round(
-            1 - F.col("n_distinct_texts") / F.col("n_docs_sampled"), 4
+            1 - F.try_divide(F.col("n_distinct_texts"), F.col("n_docs_sampled")), 4
         ),
     )
 
@@ -102,7 +105,70 @@ def survey_corpus(
     )
 
 
-def suggest_knobs(survey_row) -> dict:
+def lsh_collision_prob(s: float, band_size: int, n_bands: int) -> float:
+    """MinHash-LSH S-curve: P(candidate | Jaccard = s) with ``n_bands``
+    bands of ``band_size`` rows = 1 - (1 - s^r)^b (Leskovec/Rajaraman/
+    Ullman, *Mining of Massive Datasets* §3.4 — public textbook math)."""
+    return 1.0 - (1.0 - s ** band_size) ** n_bands
+
+
+def derive_lsh_params(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_hashes: int = 64,
+    max_band_size: int = 4,
+) -> dict:
+    """Pick (num_hashes, band_size) from the S-curve so a pair at
+    exactly the verify ``threshold`` becomes a candidate with
+    probability ≥ ``target_recall`` — the worst case over every pair
+    the verify step would keep, since the curve is increasing in s.
+
+    Among feasible (r, b) grids the choice minimizes the collision
+    probability of sub-threshold noise pairs (evaluated at s =
+    threshold/2 — candidates cost a shuffled verify join, so a steeper
+    curve is cheaper), tie-broken by fewer total hashes then larger
+    bands.  Precision needs no knob: ``lsh_verified_pairs`` re-checks
+    every candidate with exact Jaccard.
+
+    Returns {num_hashes, band_size, expected_recall, noise_collision}.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    best = None
+    noise_s = threshold / 2.0
+    for r in range(1, max_band_size + 1):
+        for b in range(1, max_hashes // r + 1):
+            recall = lsh_collision_prob(threshold, r, b)
+            if recall < target_recall:
+                continue
+            noise = lsh_collision_prob(noise_s, r, b)
+            key = (round(noise, 6), r * b, -r)
+            if best is None or key < best[0]:
+                best = (key, r, b, recall, noise)
+            break  # recall grows with b: the first feasible b is the
+            # cheapest for this r; larger b only adds noise collisions
+    if best is None:
+        raise ValueError(
+            f"no (band_size ≤ {max_band_size}, hashes ≤ {max_hashes}) grid "
+            f"reaches recall {target_recall} at threshold {threshold} — "
+            "raise max_hashes or lower the target"
+        )
+    _, r, b, recall, noise = best
+    return {
+        "num_hashes": r * b,
+        "band_size": r,
+        "expected_recall": round(recall, 4),
+        "noise_collision": round(noise, 4),
+    }
+
+
+def suggest_knobs(
+    survey_row,
+    target_threshold: Optional[float] = None,
+    target_recall: float = 0.9,
+) -> dict:
     """Turn one ``survey_corpus`` row into dedup knob recommendations.
 
     Policy (stated so it can be argued with):
@@ -115,23 +181,47 @@ def suggest_knobs(survey_row) -> dict:
     - ``max_bucket_size`` — LSH band buckets bound the same blowup;
       hot buckets are usually boilerplate families, so the same
       rescaled-p999 cap applies.
-    - ``num_hashes`` — 8 unless the corpus is exact-dup heavy (>10%):
-      heavy duplication means many borderline near-dup families too,
-      so buy recall with 16 hashes (more bands at band_size 2).
+    - ``num_hashes``/``band_size`` — with ``target_threshold`` set,
+      derived from the S-curve so candidate recall at the threshold is
+      ≥ ``target_recall`` (:func:`derive_lsh_params`); without it, the
+      legacy heuristic: 8 hashes unless the corpus is exact-dup heavy
+      (>10% — heavy duplication means many borderline near-dup
+      families too), then 16.
     - ``min_tokens`` — documents below ~5 tokens carry no usable
       shingle signal; raise the floor to the 50th-percentile-derived
       minimum only if the median itself is tiny.
+
+    Raises ``ValueError`` when the survey saw no shingles (empty
+    input, all-empty/whitespace texts, or a sample fraction that
+    selected zero documents) — there is nothing to recommend from.
     """
+    if (
+        survey_row["n_docs_sampled"] == 0
+        or survey_row["df_percentiles"] is None
+        or survey_row["token_percentiles"] is None
+    ):
+        raise ValueError(
+            "corpus survey saw no shingles (empty input, all-empty/"
+            "whitespace texts, or a sample fraction that selected zero "
+            "documents) — cannot recommend knobs; pass them explicitly "
+            "or skip --auto-knobs"
+        )
     scale = 1.0 / survey_row["sample_fraction"] if survey_row["sample_fraction"] else 1.0
     p999 = survey_row["df_percentiles"][2]
     cap = max(100, int(p999 * scale))
     heavy_dup = survey_row["exact_dup_rate"] > 0.10
-    return {
+    out = {
         "max_df": cap,
         "max_bucket_size": cap,
         "num_hashes": 16 if heavy_dup else 8,
         "min_tokens": 5 if survey_row["token_percentiles"][0] >= 5 else 2,
     }
+    if target_threshold is not None:
+        lsh = derive_lsh_params(target_threshold, target_recall)
+        out["num_hashes"] = lsh["num_hashes"]
+        out["band_size"] = lsh["band_size"]
+        out["expected_recall"] = lsh["expected_recall"]
+    return out
 
 
 def resolve_auto_knobs(docs, args, parser, sample_fraction: Optional[float] = None) -> dict:
@@ -143,9 +233,36 @@ def resolve_auto_knobs(docs, args, parser, sample_fraction: Optional[float] = No
 
     Only the cap matching the chosen near-dup method is applied
     (``max_df`` for 'jaccard', ``max_bucket_size`` for 'lsh') — the
-    other must stay None or curate_corpus raises by design."""
-    row = survey_corpus(docs, sample_fraction=sample_fraction).first()
-    rec = suggest_knobs(row)
+    other must stay None or curate_corpus raises by design.
+
+    The survey runs on the JOB's shingle space (``args.ngram`` is
+    passed through): unigram document frequencies overestimate n-gram
+    df, so surveying at the wrong ngram would make the p999 caps
+    systematically looser than the stated policy.
+
+    When num_hashes AND band_size are both left at their defaults, the
+    pair is derived from the job's ``--dedup-threshold`` via the
+    S-curve (:func:`derive_lsh_params`) — the two are coupled, so a
+    user-pinned value for either disables the derivation rather than
+    mixing a derived knob with a pinned one.
+
+    An EMPTY survey (no documents / no shingles under the sample
+    fraction) keeps every parser default and says so in the returned
+    dict instead of crashing the job pre-flight."""
+    row = survey_corpus(
+        docs, sample_fraction=sample_fraction, ngram=args.ngram
+    ).first()
+    try:
+        lsh_defaulted = (
+            args.num_hashes == parser.get_default("num_hashes")
+            and args.band_size == parser.get_default("band_size")
+        )
+        rec = suggest_knobs(
+            row,
+            target_threshold=args.dedup_threshold if lsh_defaulted else None,
+        )
+    except ValueError as e:
+        return {"_note": f"survey empty, parser defaults kept ({e})"}
     applied = {}
 
     def maybe(name, value):
@@ -155,6 +272,9 @@ def resolve_auto_knobs(docs, args, parser, sample_fraction: Optional[float] = No
 
     maybe("min_tokens", rec["min_tokens"])
     maybe("num_hashes", rec["num_hashes"])
+    if lsh_defaulted and "band_size" in rec:
+        maybe("band_size", rec["band_size"])
+        applied["expected_recall"] = rec["expected_recall"]
     if args.near_dup_method == "jaccard":
         maybe("max_df", rec["max_df"])
     else:

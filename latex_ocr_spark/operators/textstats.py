@@ -149,9 +149,15 @@ def tf_idf(
     rides into the plan as a broadcast 1-row cross join.  The old
     dedicated ``docs.count()`` action was a second full corpus scan
     per call — real money at 100 TB; building this frame now launches
-    no Spark job at all."""
+    no Spark job at all.
+
+    NULL-id documents are EXCLUDED — from the output rows and from N
+    consistently (``count_distinct`` skips NULLs, so counting them
+    into N while emitting their rows, or vice versa, would silently
+    skew idf; a document that cannot be attributed to an id has no
+    place in a per-document relevance table)."""
     toks = _tokens(text_col)
-    exploded = docs.select(
+    exploded = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
     )
     tf = cachepool.track(exploded.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")))

@@ -1450,10 +1450,10 @@ def a4_command_counter(spark, sf):
     oracle=r"""
     WITH ex AS (
       SELECT doc_id AS id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
-      FROM documents),
+      FROM documents WHERE doc_id IS NOT NULL),
     tf AS (SELECT id, tok, count(*) AS tf FROM ex GROUP BY id, tok),
     df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT id, tok FROM ex) GROUP BY tok),
-    n AS (SELECT count(*) AS n_docs FROM documents)
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id IS NOT NULL)
     SELECT tf.id, tf.tok, tf.tf, df.df,
            round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
     FROM tf JOIN df USING (tok) CROSS JOIN n

@@ -109,3 +109,147 @@ def test_auto_knobs_cli_end_to_end(tmp_path):
     assert "min_tokens" not in applied  # explicitly set -> not overridden
     funnel = json.loads(r.stdout.strip().splitlines()[-1])
     assert funnel["split"]["out"] == 40
+
+
+def test_empty_survey_raises_clearly_and_auto_knobs_keeps_defaults(spark):
+    """A survey that saw no shingles (empty input / all-whitespace
+    texts / sample fraction selecting zero docs) must not surface as an
+    opaque None[2] TypeError: suggest_knobs names the problem, and
+    resolve_auto_knobs falls back to the parser defaults with a note
+    instead of killing the job pre-flight."""
+    import argparse
+
+    import pytest
+
+    from latex_ocr_spark.operators.advisor import resolve_auto_knobs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    blank = spark.createDataFrame([(1, "   "), (2, "")], "doc_id long, text string")
+    for docs in (empty, blank):
+        row = survey_corpus(docs).first()
+        with pytest.raises(ValueError, match="survey saw no shingles"):
+            suggest_knobs(row)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-tokens", type=int, default=5, dest="min_tokens")
+    ap.add_argument("--num-hashes", type=int, default=8, dest="num_hashes")
+    ap.add_argument("--band-size", type=int, default=2, dest="band_size")
+    ap.add_argument("--dedup-threshold", type=float, default=0.5,
+                    dest="dedup_threshold")
+    ap.add_argument("--ngram", type=int, default=1)
+    ap.add_argument("--max-df", type=int, dest="max_df")
+    ap.add_argument("--max-bucket-size", type=int, dest="max_bucket_size")
+    ap.add_argument("--near-dup-method", default="lsh", dest="near_dup_method")
+    args = ap.parse_args([])
+    applied = resolve_auto_knobs(empty, args, ap)
+    assert "_note" in applied and "survey empty" in applied["_note"]
+    # every knob untouched
+    assert (args.min_tokens, args.num_hashes, args.band_size) == (5, 8, 2)
+    assert args.max_bucket_size is None
+
+
+def test_auto_knobs_surveys_the_jobs_ngram(spark, monkeypatch):
+    """The advised caps bound the JOB's shingle space: unigram df
+    overestimates n-gram df, so resolve_auto_knobs must survey at
+    args.ngram, not survey_corpus's default."""
+    import argparse
+
+    from latex_ocr_spark.operators import advisor
+
+    seen = {}
+    real = advisor.survey_corpus
+
+    def spy(docs, sample_fraction=None, ngram=1, **kw):
+        seen["ngram"] = ngram
+        return real(docs, sample_fraction=sample_fraction, ngram=ngram, **kw)
+
+    monkeypatch.setattr(advisor, "survey_corpus", spy)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-tokens", type=int, default=5, dest="min_tokens")
+    ap.add_argument("--num-hashes", type=int, default=8, dest="num_hashes")
+    ap.add_argument("--band-size", type=int, default=2, dest="band_size")
+    ap.add_argument("--dedup-threshold", type=float, default=0.5,
+                    dest="dedup_threshold")
+    ap.add_argument("--ngram", type=int, default=1)
+    ap.add_argument("--max-df", type=int, dest="max_df")
+    ap.add_argument("--max-bucket-size", type=int, dest="max_bucket_size")
+    ap.add_argument("--near-dup-method", default="lsh", dest="near_dup_method")
+    args = ap.parse_args(["--ngram", "3"])
+    advisor.resolve_auto_knobs(_corpus(spark, n=30), args, ap)
+    assert seen["ngram"] == 3
+
+
+def test_derive_lsh_params_scurve_math():
+    """The S-curve derivation: recall at the threshold meets the
+    target, the selection prefers steeper curves (lower sub-threshold
+    noise collisions), and impossible targets fail loudly."""
+    import pytest
+
+    from latex_ocr_spark.operators.advisor import (
+        derive_lsh_params,
+        lsh_collision_prob,
+    )
+
+    got = derive_lsh_params(0.5, target_recall=0.9)
+    assert got["num_hashes"] == got["band_size"] * (
+        got["num_hashes"] // got["band_size"]
+    )
+    assert got["expected_recall"] >= 0.9
+    n_bands = got["num_hashes"] // got["band_size"]
+    assert got["expected_recall"] == pytest.approx(
+        lsh_collision_prob(0.5, got["band_size"], n_bands), abs=1e-3
+    )
+    # steeper than the single-hash-band grid that also meets recall:
+    # r=1,b=4 has recall 0.9375 but collides 68% of s=0.25 noise pairs
+    assert got["noise_collision"] < lsh_collision_prob(0.25, 1, 4)
+
+    # a high threshold needs fewer hashes than a low one at equal recall
+    hi = derive_lsh_params(0.9, target_recall=0.9)
+    lo = derive_lsh_params(0.3, target_recall=0.9, max_hashes=128)
+    assert hi["num_hashes"] <= lo["num_hashes"]
+
+    with pytest.raises(ValueError, match="no .*grid"):
+        derive_lsh_params(0.05, target_recall=0.99, max_hashes=8)
+    with pytest.raises(ValueError, match="threshold"):
+        derive_lsh_params(0.0)
+
+
+def test_derived_knobs_hit_declared_recall_on_planted_corpus(spark):
+    """--auto-knobs contract end-to-end: knobs derived for (threshold
+    0.5, recall 0.9) must recover ≥ 90% of the exact-Jaccard pairs on
+    a planted corpus whose near-dup pairs sit AT and above the
+    threshold — the hardest similarity the verify step keeps."""
+    from latex_ocr_spark import cachepool
+    from latex_ocr_spark.operators.dedup import jaccard_pairs, lsh_verified_pairs
+
+    rows = []
+    # 40 bases with disjoint vocabularies; each base gets one partner
+    # sharing 8..11 of its 12 tokens -> Jaccard 0.50/0.60/0.71/0.85
+    for i in range(40):
+        base = [f"t{i}_{j}" for j in range(12)]
+        shared = 8 + (i % 4)
+        partner = base[:shared] + [f"p{i}_{j}" for j in range(12 - shared)]
+        rows.append((i, " ".join(base)))
+        rows.append((1000 + i, " ".join(partner)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    knobs = suggest_knobs(survey_corpus(docs).first(), target_threshold=0.5)
+    assert knobs["expected_recall"] >= 0.9 and "band_size" in knobs
+
+    exact = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in jaccard_pairs(docs, threshold=0.5, ngram=1).collect()
+    }
+    assert len(exact) == 40  # every planted pair, nothing else
+    got = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in lsh_verified_pairs(
+            docs, threshold=0.5, num_hashes=knobs["num_hashes"],
+            band_size=knobs["band_size"], ngram=1,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"derived knobs missed the declared recall: {recall}"
+    assert got <= exact  # precision exact by construction (verify step)
+    cachepool.release()

@@ -226,7 +226,10 @@ def test_tf_idf_builds_lazily_and_counts_empty_docs_in_n(spark):
     import pytest
 
     docs = spark.createDataFrame(
-        [(0, "a a b"), (1, "b c"), (2, "   "), (3, None)],
+        # the NULL-ID doc must be excluded CONSISTENTLY: from N (which
+        # count_distinct skips anyway) and from the output rows — the
+        # round-5 drift emitted its (id=NULL) tf rows while N ignored it
+        [(0, "a a b"), (1, "b c"), (2, "   "), (3, None), (None, "b zz")],
         "doc_id long, text string",
     )
 
@@ -249,9 +252,11 @@ def test_tf_idf_builds_lazily_and_counts_empty_docs_in_n(spark):
         round(2 * math.log(4 / 1), 4)
     )
     assert rows[(1, "c")]["tfidf"] == pytest.approx(round(math.log(4 / 1), 4))
-    # shared token b: df=2
+    # shared token b: df=2 — the NULL-id doc's 'b' contributes neither
+    # a row nor a df increment, and its unique token never appears
     assert rows[(0, "b")]["df"] == 2 == rows[(1, "b")]["df"]
-    # placeholder rows never leak into the output
+    assert not any(tok == "zz" for _id, tok in rows)
+    # placeholder rows / NULL-id rows never leak into the output
     assert all(tok is not None for _id, tok in rows)
     assert {i for i, _t in rows} == {0, 1}
     from latex_ocr_spark import cachepool
