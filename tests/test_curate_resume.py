@@ -275,3 +275,73 @@ def test_resumable_matches_curate_on_random_corpora(spark, tmp_path):
         cachepool.release()
         assert res.funnel == baseline.funnel, trial
         assert _table(res.documents) == _table(baseline.documents), trial
+
+
+def test_checkpoint_lease_fences_second_writer(spark, tmp_path):
+    """Two concurrent runs on one checkpoint dir would interleave
+    artifact-then-lineage commits (run B's lineage row describing run
+    A's artifact bytes) — the lease makes the second writer fail
+    loudly while the first holds it, then succeed after release."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from latex_ocr_spark.plans.resumable import CheckpointLease
+
+    docs = _fixture(spark)
+    ckpt = str(tmp_path / "ckL")
+
+    # a LIVE holder (this very process) fences out the funnel
+    lease = CheckpointLease(ckpt).acquire()
+    with pytest.raises(RuntimeError, match="leased to a running funnel"):
+        curate_corpus_resumable(spark, docs, ckpt, **KW)
+    # the refused attempt must not have scribbled any artifacts
+    import os
+    assert sorted(os.listdir(ckpt)) == ["_lock"]
+    lease.release()
+    assert not os.path.exists(f"{ckpt}/_lock")
+
+    # released -> the same run goes through, and releases on completion
+    res = curate_corpus_resumable(spark, docs, ckpt, **KW)
+    assert res.funnel[-1][0] == "split"
+    assert not os.path.exists(f"{ckpt}/_lock")
+    cachepool.release()
+
+    # a lock whose owner is verifiably dead (same host, pid gone) is
+    # broken and the run proceeds — a SIGKILLed funnel must not fence
+    # out its own resume forever
+    p = subprocess.run([_sys.executable, "-c", "import os; print(os.getpid())"],
+                       capture_output=True, text=True)
+    dead_pid = int(p.stdout.strip())
+    with open(f"{ckpt}/_lock", "w") as f:
+        json.dump({"pid": dead_pid, "host": __import__("socket").gethostname(),
+                   "started": 0}, f)
+    again = curate_corpus_resumable(spark, docs, ckpt, **KW)
+    assert again.funnel == res.funnel
+    assert not os.path.exists(f"{ckpt}/_lock")
+    cachepool.release()
+
+    # an unverifiable holder (other host) is NEVER broken
+    with open(f"{ckpt}/_lock", "w") as f:
+        json.dump({"pid": 1, "host": "some-other-executor", "started": 0}, f)
+    with pytest.raises(RuntimeError, match="leased to a running funnel"):
+        curate_corpus_resumable(spark, docs, ckpt, **KW)
+
+
+def test_lease_released_on_crash_allows_resume(spark, tmp_path):
+    """The injected-crash path: a run that dies mid-funnel releases the
+    lease on the way out (context manager), so the resume acquires it
+    without manual intervention."""
+    import os
+
+    docs, evalset = _fixture(spark), _evalset(spark)
+    ckpt = str(tmp_path / "ckC")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        curate_corpus_resumable(
+            spark, docs, ckpt, evalset, _fail_after_write={"pairs"}, **KW
+        )
+    cachepool.release()
+    assert not os.path.exists(f"{ckpt}/_lock")
+    res = curate_corpus_resumable(spark, docs, ckpt, evalset, **KW)
+    assert res.funnel[-1][0] == "split"
+    cachepool.release()
