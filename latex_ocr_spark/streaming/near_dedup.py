@@ -359,3 +359,98 @@ def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32)
         _shutil.move(staging, path)
         _shutil.rmtree(bak)
     return out
+
+
+def list_index_batches(index_dir: str) -> list:
+    """Sorted real batch ids present in the signatures table (the -1
+    compaction partition is not a batch and is excluded)."""
+    sig = os.path.join(index_dir, "signatures")
+    if not os.path.isdir(sig):
+        return []
+    out = []
+    for name in os.listdir(sig):
+        if name.startswith(f"{BATCH_COL}="):
+            b = int(name.split("=", 1)[1])
+            if b >= 0:
+                out.append(b)
+    return sorted(out)
+
+
+def prune_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    min_batch_id: Optional[int] = None,
+    keep_last_n: Optional[int] = None,
+) -> dict:
+    """Retention policy for the survivor index: drop the index rows of
+    batches older than a cutoff, bounding index growth at the price of
+    RECALL — a later document that near-duplicates a pruned survivor
+    is ADMITTED (its only witnesses are gone).  The output table is
+    untouched: pruning forgets history for *future* comparisons, it
+    never un-accepts a survivor.  Choose the horizon the way one
+    chooses a decontamination window: keep at least the span within
+    which re-ingested copies realistically arrive.
+
+    Exactly one of:
+
+    - ``min_batch_id`` — watermark-aligned: drop real batches with id
+      < the cutoff (batch ids are monotonic in arrival time, so a
+      time-based TTL maps to an id cutoff by the operator's batch log);
+    - ``keep_last_n`` — count-based: keep the n most recent real
+      batches (n ≥ 1).
+
+    The ``batch_id=-1`` compaction partition is NEVER pruned here — it
+    is the folded pre-compaction history, carrying no per-batch age to
+    prune by; to retire compacted history too, start a fresh index (or
+    rebuild the -1 partition from a filtered read).
+
+    Same contract as :func:`compact_index`: run only between stream
+    runs, after a clean shutdown.  Crash-safety: partitions are
+    removed signatures-first — a signatures-pruned batch can produce
+    no band candidates, so a half-pruned batch already behaves as
+    pruned; re-running removes the leftover shingle partitions
+    (idempotent).  Local-fs deletes here; on an object store issue the
+    same per-prefix deletes through the Hadoop FileSystem API.
+
+    Returns {"pruned": [...batch ids...], "kept": [...]}.
+    """
+    import shutil as _shutil
+
+    if (min_batch_id is None) == (keep_last_n is None):
+        raise ValueError("pass exactly one of min_batch_id / keep_last_n")
+    if keep_last_n is not None and keep_last_n < 1:
+        raise ValueError("keep_last_n must be ≥ 1")
+    residue = [
+        p
+        for sub in ("shingles", "signatures")
+        for p in (_bak_path(index_dir, sub), _staging_path(index_dir, sub))
+        if os.path.exists(p)
+    ]
+    if residue:
+        raise RuntimeError(
+            f"index at {index_dir} has compaction swap residue — run "
+            "recover_compaction(index_dir) before pruning"
+        )
+    batches = list_index_batches(index_dir)
+    if min_batch_id is not None:
+        pruned = [b for b in batches if b < min_batch_id]
+    else:
+        pruned = batches[:-keep_last_n] if len(batches) > keep_last_n else []
+    kept = [b for b in batches if b not in set(pruned)]
+    has_compacted = os.path.isdir(
+        os.path.join(index_dir, "signatures", f"{BATCH_COL}=-1")
+    )
+    if batches and not kept and not has_compacted:
+        raise RuntimeError(
+            f"pruning every batch ({pruned}) would leave an EMPTY index "
+            "that the stream cannot distinguish from corruption — keep at "
+            "least one batch, or delete the index dir for a fresh start"
+        )
+    # signatures first (see docstring), then shingles
+    for sub in ("signatures", "shingles"):
+        for b in pruned:
+            part = os.path.join(index_dir, sub, f"{BATCH_COL}={b}")
+            if os.path.isdir(part):
+                _shutil.rmtree(part)
+    return {"pruned": pruned, "kept": kept}

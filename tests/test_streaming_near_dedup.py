@@ -252,3 +252,108 @@ def test_stream_refuses_half_index_and_swap_residue(spark, dirs):
         start_near_dedup_stream(
             spark, f"{dirs}/in", f"{dirs}/out", idx, f"{dirs}/ckpt", **KW
         )
+
+
+def test_prune_index_admits_only_near_dups_of_pruned_survivors(spark, dirs):
+    """Retention contract: after pruning old batches from the survivor
+    index, a later batch admits near-dups of PRUNED survivors (their
+    witnesses are gone — the documented recall tradeoff) while near-dups
+    of retained survivors are still dropped; already-accepted output is
+    untouched."""
+    import os
+
+    from latex_ocr_spark.streaming.near_dedup import (
+        list_index_batches,
+        prune_index,
+    )
+
+    # batch 0: docs 0..19 (+near-dup 100 of 5, collapsed in-batch)
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    # batch 1: docs 200..209 (+2 dups of batch-0 docs, dropped)
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    assert list_index_batches(f"{dirs}/index") == [0, 1]
+
+    # forget batch 0's history
+    got = prune_index(spark, f"{dirs}/index", min_batch_id=1)
+    assert got == {"pruned": [0], "kept": [1]}
+    assert not os.path.isdir(f"{dirs}/index/signatures/batch_id=0")
+    assert os.path.isdir(f"{dirs}/index/signatures/batch_id=1")
+    # idempotent
+    assert prune_index(spark, f"{dirs}/index", min_batch_id=1) == {
+        "pruned": [], "kept": [1],
+    }
+
+    # batch 2: one near-dup of PRUNED batch-0 survivor 4 (admitted —
+    # an EXACT copy, so its only possible witness is the pruned one),
+    # one near-dup of RETAINED batch-1 survivor 203 (dropped; J=5/6 —
+    # high enough that the 4-band LSH catch probability is ~0.99, the
+    # J=0.67 variant genuinely missed banding once),
+    # one fresh doc (admitted)
+    rows = [
+        (500, _text(4)),
+        (501, _text(203) + " extra501"),
+        (502, _text(999)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    got_ids = sorted(
+        r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect()
+    )
+    prior = sorted(list(range(20)) + [200 + i for i in range(10)])
+    assert got_ids == sorted(prior + [500, 502])  # 501 dropped, 500 admitted
+
+    # guards: both-or-neither selector, n>=1, never empty the index
+    with pytest.raises(ValueError, match="exactly one"):
+        prune_index(spark, f"{dirs}/index")
+    with pytest.raises(ValueError, match="keep_last_n"):
+        prune_index(spark, f"{dirs}/index", keep_last_n=0)
+    with pytest.raises(RuntimeError, match="EMPTY index"):
+        prune_index(spark, f"{dirs}/index", min_batch_id=10_000)
+
+
+def test_prune_keep_last_n_and_compacted_partition_survives(spark, dirs):
+    """keep_last_n retention; the batch_id=-1 compaction partition is
+    never pruned (it is folded history, not a batch), and pruning every
+    real batch is allowed once a -1 partition exists to carry history."""
+    from latex_ocr_spark.streaming.near_dedup import (
+        compact_index,
+        list_index_batches,
+        prune_index,
+    )
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    compact_index(spark, f"{dirs}/index", num_partitions=2)  # -> batch_id=-1
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    assert list_index_batches(f"{dirs}/index") == [1]
+
+    got = prune_index(spark, f"{dirs}/index", keep_last_n=1)
+    assert got == {"pruned": [], "kept": [1]}
+    # pruning ALL real batches is legal with a -1 partition present
+    got = prune_index(spark, f"{dirs}/index", min_batch_id=10_000)
+    assert got == {"pruned": [1], "kept": []}
+    import glob
+
+    assert glob.glob(f"{dirs}/index/signatures/batch_id=*") == [
+        f"{dirs}/index/signatures/batch_id=-1"
+    ]
+    # compacted history still suppresses: a copy of doc 7 is dropped
+    spark.createDataFrame(
+        [(600, _text(7)), (601, _text(777))], "doc_id long, text string"
+    ).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    got_ids = sorted(
+        r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect()
+    )
+    assert 600 not in got_ids and 601 in got_ids
