@@ -357,3 +357,36 @@ def test_prune_keep_last_n_and_compacted_partition_survives(spark, dirs):
         r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect()
     )
     assert 600 not in got_ids and 601 in got_ids
+
+
+def test_index_maintenance_cli(spark, dirs):
+    """The maintenance job drives compact/prune/recover end-to-end via
+    its CLI (the operational form: retention policy as a reviewed,
+    re-runnable command line, never notebook state)."""
+    import json as J
+    import subprocess
+    import sys as _sys
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+
+    def job(*argv):
+        r = subprocess.run(
+            [_sys.executable, "/root/repo/jobs/index_maintenance_job.py",
+             "--index", f"{dirs}/index", "--cores", "4", *argv],
+            capture_output=True, text=True, timeout=280,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return J.loads(r.stdout.strip().splitlines()[-1])
+
+    out = job("prune", "--keep-last-n", "1")
+    assert out["prune"] == {"pruned": [0], "kept": [1]}
+    out = job("compact", "--num-partitions", "2")
+    assert out["compact"]["signatures"] == 10  # batch 1's survivors
+    assert out["batches"] == []  # all folded into -1
+    out = job("recover")  # clean index: nothing to do
+    assert out == {"recover": []}
