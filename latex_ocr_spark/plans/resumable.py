@@ -48,8 +48,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
-import socket
 import time
 from typing import Callable, List, Optional, Set, Tuple
 
@@ -58,6 +56,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from latex_ocr_spark import cachepool
+from latex_ocr_spark.lease import DirLease
 from latex_ocr_spark.operators import dedup as D
 from latex_ocr_spark.operators import textstats as TS
 from latex_ocr_spark.plans.curate import CurationResult, _count
@@ -98,96 +97,20 @@ def _config_hash(knobs: dict) -> str:
     ).hexdigest()
 
 
-class CheckpointLease:
+class CheckpointLease(DirLease):
     """Single-writer fence for a resumable checkpoint dir.
 
     The artifact-then-lineage commit protocol assumes ONE writer; two
     concurrent runs on the same checkpoint could interleave an
     artifact overwrite from run A with a lineage append from run B,
-    committing a lineage row that describes the other run's bytes —
-    the visited-file append race the reference never solved
-    (arxiv.py:126-130).  A second run must fail loudly, not corrupt.
-
-    Mechanics: ``O_CREAT | O_EXCL`` on ``<ckpt>/_lock`` (atomic on a
-    local/POSIX fs) holding {pid, host, started}.  A leftover lock
-    whose owner is verifiably dead — same host, pid gone — is broken
-    and re-acquired, so a SIGKILLed run doesn't fence out its own
-    resume forever; a lock owned by a LIVE pid or an unverifiable
-    remote host always raises (breaking it blind is exactly the race
-    this class exists to prevent — the operator deletes the file after
-    confirming the other run is gone).  On an object store, replace
-    with a conditional-put of the same payload; the protocol is
-    unchanged.
+    committing a lineage row that describes the other run's bytes.
+    Mechanics (O_CREAT|O_EXCL lock file, dead-owner break, loud
+    refusal otherwise) live in :class:`latex_ocr_spark.lease.DirLease`
+    — shared with the survivor-index maintenance fence.
     """
 
     def __init__(self, checkpoint_dir: str):
-        self.path = os.path.join(checkpoint_dir, "_lock")
-        self._held = False
-
-    def acquire(self) -> "CheckpointLease":
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        payload = json.dumps(
-            {"pid": os.getpid(), "host": socket.gethostname(),
-             "started": int(time.time())}
-        )
-        for _attempt in (1, 2):  # second attempt only after a stale break
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(payload)
-                self._held = True
-                return self
-            except FileExistsError:
-                try:
-                    with open(self.path) as f:
-                        holder = json.load(f)
-                except (OSError, ValueError):
-                    # mid-write or vanished: treat as held, never break
-                    holder = {"pid": None, "host": "?", "started": "?"}
-                if (
-                    holder.get("host") == socket.gethostname()
-                    and isinstance(holder.get("pid"), int)
-                    and not _pid_alive(holder["pid"])
-                ):
-                    # verifiably dead owner (crashed run): break once
-                    try:
-                        os.unlink(self.path)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                raise RuntimeError(
-                    f"checkpoint at {os.path.dirname(self.path)} is leased "
-                    f"to a running funnel (pid {holder.get('pid')} on "
-                    f"{holder.get('host')}, started {holder.get('started')}) "
-                    "— a second concurrent writer would interleave artifact/"
-                    "lineage commits; wait for it or, after confirming it is "
-                    f"dead, delete {self.path}"
-                )
-        raise RuntimeError(f"could not acquire checkpoint lease {self.path}")
-
-    def release(self) -> None:
-        if self._held:
-            self._held = False
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
-
-    def __enter__(self) -> "CheckpointLease":
-        return self.acquire()
-
-    def __exit__(self, *exc) -> None:
-        self.release()
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-        return True
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
+        super().__init__(checkpoint_dir, name="_lock", role="funnel")
 
 
 def _read_lineage(spark: SparkSession, lineage_path: str) -> dict:

@@ -335,9 +335,19 @@ def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32)
     Renames are local-filesystem here; on an object store run the same
     sequence through the Hadoop FileSystem API (or compact into a NEW
     index dir and repoint the stream) — the read path is identical.
+
+    Holds the index maintenance lease for the duration: two concurrent
+    compactions would both stage and swap the same table paths.
     """
     import shutil as _shutil
 
+    from latex_ocr_spark.lease import DirLease
+
+    with DirLease(index_dir, name="_maintenance_lock", role="index maintenance"):
+        return _compact_index_locked(spark, index_dir, num_partitions, _shutil)
+
+
+def _compact_index_locked(spark, index_dir, num_partitions, _shutil) -> dict:
     recover_compaction(index_dir)
     out = {}
     for sub, keys in (("shingles", ["id", "shingle"]), ("signatures", ["id"])):
@@ -414,13 +424,26 @@ def prune_index(
     same per-prefix deletes through the Hadoop FileSystem API.
 
     Returns {"pruned": [...batch ids...], "kept": [...]}.
+
+    Holds the index maintenance lease for the duration (shared with
+    :func:`compact_index`): concurrent maintenance would race on the
+    same partition directories.
     """
     import shutil as _shutil
+
+    from latex_ocr_spark.lease import DirLease
 
     if (min_batch_id is None) == (keep_last_n is None):
         raise ValueError("pass exactly one of min_batch_id / keep_last_n")
     if keep_last_n is not None and keep_last_n < 1:
         raise ValueError("keep_last_n must be ≥ 1")
+    with DirLease(index_dir, name="_maintenance_lock", role="index maintenance"):
+        return _prune_index_locked(
+            spark, index_dir, min_batch_id, keep_last_n, _shutil
+        )
+
+
+def _prune_index_locked(spark, index_dir, min_batch_id, keep_last_n, _shutil):
     residue = [
         p
         for sub in ("shingles", "signatures")

@@ -321,10 +321,11 @@ def test_checkpoint_lease_fences_second_writer(spark, tmp_path):
     assert not os.path.exists(f"{ckpt}/_lock")
     cachepool.release()
 
-    # an unverifiable holder (other host) is NEVER broken
+    # an unverifiable holder (other host) is NEVER broken — even a
+    # damaged lock without a role field still refuses
     with open(f"{ckpt}/_lock", "w") as f:
         json.dump({"pid": 1, "host": "some-other-executor", "started": 0}, f)
-    with pytest.raises(RuntimeError, match="leased to a running funnel"):
+    with pytest.raises(RuntimeError, match="leased to a running"):
         curate_corpus_resumable(spark, docs, ckpt, **KW)
 
 

@@ -390,3 +390,38 @@ def test_index_maintenance_cli(spark, dirs):
     assert out["batches"] == []  # all folded into -1
     out = job("recover")  # clean index: nothing to do
     assert out == {"recover": []}
+
+
+def test_index_maintenance_is_single_writer(spark, dirs):
+    """compact/prune hold a maintenance lease on the index dir — two
+    concurrent maintenance runs would stage/swap/delete the same
+    paths.  A live holder is refused loudly; a dead holder's lease is
+    broken (same semantics as the funnel's CheckpointLease, shared
+    DirLease mechanics)."""
+    import json as J
+    import os
+    import socket
+
+    from latex_ocr_spark.lease import DirLease
+    from latex_ocr_spark.streaming.near_dedup import compact_index, prune_index
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    idx = f"{dirs}/index"
+
+    held = DirLease(idx, name="_maintenance_lock", role="index maintenance")
+    held.acquire()
+    with pytest.raises(RuntimeError, match="leased to a running index maintenance"):
+        compact_index(spark, idx, num_partitions=2)
+    with pytest.raises(RuntimeError, match="leased to a running index maintenance"):
+        prune_index(spark, idx, keep_last_n=1)
+    held.release()
+
+    # a dead holder (pid gone, same host) is broken automatically
+    with open(f"{idx}/_maintenance_lock", "w") as f:
+        J.dump({"pid": 2**22 + 1234, "host": socket.gethostname(),
+                "started": 0, "role": "index maintenance"}, f)
+    stats = compact_index(spark, idx, num_partitions=2)
+    assert stats["signatures"] == 20
+    assert not os.path.exists(f"{idx}/_maintenance_lock")  # released
