@@ -174,6 +174,40 @@ def start_near_dedup_stream(
             "overwrite"
         ).text(meta_path)
 
+    # never stream over an index being maintained RIGHT NOW: compaction
+    # mid-swap or pruning mid-delete under a live read is the
+    # torn-state overlap the offline contract forbids.  A LIVE
+    # maintenance holder refuses the stream; a dead one's leftover
+    # lock is cleaned by the next maintenance run (the stream never
+    # breaks a lock it doesn't own — it cannot tell a remote-host
+    # holder from a crashed one).
+    mlock = os.path.join(index_dir, "_maintenance_lock")
+    if os.path.exists(mlock):
+        import json as _json
+
+        from latex_ocr_spark.lease import _pid_alive
+
+        try:
+            with open(mlock) as f:
+                holder = _json.load(f)
+        except (OSError, ValueError):
+            holder = {"pid": None, "host": "?"}
+        import socket as _socket
+
+        dead = (
+            holder.get("host") == _socket.gethostname()
+            and isinstance(holder.get("pid"), int)
+            and not _pid_alive(holder["pid"])
+        )
+        if not dead:
+            raise RuntimeError(
+                f"survivor index at {index_dir} is under maintenance "
+                f"(pid {holder.get('pid')} on {holder.get('host')}) — "
+                "streaming over a mid-swap/mid-prune index reads torn "
+                "state; wait for it or, after confirming it is dead, "
+                f"delete {mlock}"
+            )
+
     # a half-index means an interrupted compaction (or manual damage):
     # shingles and signatures are written together by every batch, so
     # exactly one existing is NEVER "no history yet" — treating it so

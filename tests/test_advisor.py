@@ -253,3 +253,42 @@ def test_derived_knobs_hit_declared_recall_on_planted_corpus(spark):
     assert recall >= 0.9, f"derived knobs missed the declared recall: {recall}"
     assert got <= exact  # precision exact by construction (verify step)
     cachepool.release()
+
+
+def test_derive_lsh_params_property_fuzz():
+    """Property fuzz over the whole derivation domain: every returned
+    grid meets the declared recall at its threshold, respects the hash
+    budget, and the reported numbers are internally consistent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from latex_ocr_spark.operators.advisor import (
+        derive_lsh_params,
+        lsh_collision_prob,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        threshold=st.floats(min_value=0.1, max_value=1.0),
+        target=st.floats(min_value=0.5, max_value=0.99),
+        max_hashes=st.integers(min_value=16, max_value=256),
+    )
+    def check(threshold, target, max_hashes):
+        try:
+            got = derive_lsh_params(
+                threshold, target_recall=target, max_hashes=max_hashes
+            )
+        except ValueError:
+            # infeasible (tiny threshold + high target + small budget)
+            # must be a LOUD refusal, which it just was
+            return
+        r, n = got["band_size"], got["num_hashes"]
+        assert 1 <= r <= 4 and r * (n // r) == n and n <= max_hashes
+        recall = lsh_collision_prob(threshold, r, n // r)
+        assert recall >= target
+        assert abs(recall - got["expected_recall"]) < 1e-3
+        # the S-curve must separate: noise collisions strictly below
+        # the recall at the threshold (monotonicity sanity)
+        assert got["noise_collision"] <= got["expected_recall"]
+
+    check()

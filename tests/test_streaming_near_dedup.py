@@ -425,3 +425,39 @@ def test_index_maintenance_is_single_writer(spark, dirs):
     stats = compact_index(spark, idx, num_partitions=2)
     assert stats["signatures"] == 20
     assert not os.path.exists(f"{idx}/_maintenance_lock")  # released
+
+
+def test_stream_refuses_index_under_live_maintenance(spark, dirs):
+    """The offline-maintenance contract, enforced both ways: the
+    stream must not start over an index whose maintenance lease has a
+    LIVE owner (mid-swap/mid-prune reads are torn state); a dead
+    owner's leftover lock does not block the stream."""
+    import json as J
+    import os
+    import socket
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    mlock = f"{dirs}/index/_maintenance_lock"
+
+    with open(mlock, "w") as f:
+        J.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                "started": 0, "role": "index maintenance"}, f)
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        start_near_dedup_stream(
+            spark, f"{dirs}/in", f"{dirs}/out", f"{dirs}/index",
+            f"{dirs}/ckpt", **KW,
+        )
+
+    # a verifiably dead holder does not block (lock left for the next
+    # maintenance run to clean — the stream never deletes it)
+    with open(mlock, "w") as f:
+        J.dump({"pid": 2**22 + 4321, "host": socket.gethostname(),
+                "started": 0, "role": "index maintenance"}, f)
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    assert os.path.exists(mlock)
+    got = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
+    assert got == sorted(list(range(20)) + [200 + i for i in range(10)])
+    cachepool.release()
