@@ -67,8 +67,14 @@ def main() -> int:
     )
 
     if args.action == "recover":
-        # pure filesystem repair — no session startup cost
-        print(json.dumps({"recover": recover_compaction(args.index)}))
+        # pure filesystem repair — no session startup cost.  Takes the
+        # same maintenance lease as compact/prune: repairing swap state
+        # while another compaction is MID-swap would race its renames.
+        from latex_ocr_spark.lease import DirLease
+
+        with DirLease(args.index, name="_maintenance_lock",
+                      role="index maintenance"):
+            print(json.dumps({"recover": recover_compaction(args.index)}))
         return 0
 
     from latex_ocr_spark.session import get_spark

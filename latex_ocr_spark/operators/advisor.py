@@ -105,6 +105,12 @@ def survey_corpus(
     )
 
 
+class EmptySurveyError(ValueError):
+    """The corpus survey saw no documents/shingles — knob
+    recommendations are impossible, but the condition is benign
+    (tiny/empty input) rather than a configuration error."""
+
+
 def lsh_collision_prob(s: float, band_size: int, n_bands: int) -> float:
     """MinHash-LSH S-curve: P(candidate | Jaccard = s) with ``n_bands``
     bands of ``band_size`` rows = 1 - (1 - s^r)^b (Leskovec/Rajaraman/
@@ -191,16 +197,20 @@ def suggest_knobs(
       shingle signal; raise the floor to the 50th-percentile-derived
       minimum only if the median itself is tiny.
 
-    Raises ``ValueError`` when the survey saw no shingles (empty
-    input, all-empty/whitespace texts, or a sample fraction that
-    selected zero documents) — there is nothing to recommend from.
+    Raises :class:`EmptySurveyError` when the survey saw no shingles
+    (empty input, all-empty/whitespace texts, or a sample fraction
+    that selected zero documents) — there is nothing to recommend
+    from.  A derivation failure (infeasible threshold/recall grid)
+    raises plain ``ValueError`` and is NOT the survey's fault — the
+    distinction matters to resolve_auto_knobs, which degrades
+    gracefully only on the former.
     """
     if (
         survey_row["n_docs_sampled"] == 0
         or survey_row["df_percentiles"] is None
         or survey_row["token_percentiles"] is None
     ):
-        raise ValueError(
+        raise EmptySurveyError(
             "corpus survey saw no shingles (empty input, all-empty/"
             "whitespace texts, or a sample fraction that selected zero "
             "documents) — cannot recommend knobs; pass them explicitly "
@@ -252,16 +262,20 @@ def resolve_auto_knobs(docs, args, parser, sample_fraction: Optional[float] = No
     row = survey_corpus(
         docs, sample_fraction=sample_fraction, ngram=args.ngram
     ).first()
+    lsh_defaulted = (
+        args.num_hashes == parser.get_default("num_hashes")
+        and args.band_size == parser.get_default("band_size")
+    )
     try:
-        lsh_defaulted = (
-            args.num_hashes == parser.get_default("num_hashes")
-            and args.band_size == parser.get_default("band_size")
-        )
         rec = suggest_knobs(
             row,
             target_threshold=args.dedup_threshold if lsh_defaulted else None,
         )
-    except ValueError as e:
+    except EmptySurveyError as e:
+        # ONLY the benign no-data case degrades to parser defaults; a
+        # derivation failure (bad/infeasible --dedup-threshold) must
+        # kill the job loudly — swallowing it would also silently drop
+        # the max_df/max_bucket_size blowup caps the survey DID produce
         return {"_note": f"survey empty, parser defaults kept ({e})"}
     applied = {}
 

@@ -49,7 +49,9 @@ from typing import Optional
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.listener import StreamingQueryListener
 
+from latex_ocr_spark import lease as lease_mod
 from latex_ocr_spark.streaming.decontaminate import DOCS_STREAM_SCHEMA
 from latex_ocr_spark.streaming.sinks import (
     BATCH_COL,
@@ -94,9 +96,14 @@ def recover_compaction(index_dir: str) -> list:
       if staging is somehow gone too, roll bak back.
     - staging present, no bak      → crashed before the swap began:
       drop the stale staging dir.
+
+    Callers must hold the maintenance lease (compact_index does; the
+    CLI's ``recover`` action acquires it): repairing swap state while
+    another compaction is MID-swap would race its renames.
     """
     import shutil as _shutil
 
+    lease_mod.require_local_path(index_dir, "recover_compaction")
     actions = []
     for sub in ("shingles", "signatures"):
         table = os.path.join(index_dir, sub)
@@ -176,36 +183,23 @@ def start_near_dedup_stream(
 
     # never stream over an index being maintained RIGHT NOW: compaction
     # mid-swap or pruning mid-delete under a live read is the
-    # torn-state overlap the offline contract forbids.  A LIVE
-    # maintenance holder refuses the stream; a dead one's leftover
-    # lock is cleaned by the next maintenance run (the stream never
-    # breaks a lock it doesn't own — it cannot tell a remote-host
-    # holder from a crashed one).
-    mlock = os.path.join(index_dir, "_maintenance_lock")
-    if os.path.exists(mlock):
-        import json as _json
-
-        from latex_ocr_spark.lease import _pid_alive
-
-        try:
-            with open(mlock) as f:
-                holder = _json.load(f)
-        except (OSError, ValueError):
-            holder = {"pid": None, "host": "?"}
-        import socket as _socket
-
-        dead = (
-            holder.get("host") == _socket.gethostname()
-            and isinstance(holder.get("pid"), int)
-            and not _pid_alive(holder["pid"])
-        )
-        if not dead:
+    # torn-state overlap the offline contract forbids.  A LIVE (or
+    # unverifiable-remote) maintenance holder refuses the stream; a
+    # dead holder's leftover lock does not block (the stream never
+    # deletes a lock it doesn't own — the next maintenance run cleans
+    # it).  Skipped for URI-scheme index paths, where the local-fs
+    # lease cannot see anything (the maintenance ops themselves refuse
+    # such paths loudly, so the overlap cannot arise from this repo's
+    # tooling).
+    if not lease_mod._URI_SCHEME.match(index_dir):
+        state, holder = lease_mod.probe(index_dir, "_maintenance_lock")
+        if state != "free":
             raise RuntimeError(
                 f"survivor index at {index_dir} is under maintenance "
                 f"(pid {holder.get('pid')} on {holder.get('host')}) — "
                 "streaming over a mid-swap/mid-prune index reads torn "
                 "state; wait for it or, after confirming it is dead, "
-                f"delete {mlock}"
+                f"delete {os.path.join(index_dir, '_maintenance_lock')}"
             )
 
     # a half-index means an interrupted compaction (or manual damage):
@@ -335,7 +329,73 @@ def start_near_dedup_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+    # hold a stream lease on the index for the query's lifetime so
+    # maintenance refuses while batches are reading/writing it (the
+    # other direction of the fence above).  flock-based: the kernel
+    # releases it the instant this process dies, so a crashed stream
+    # never blocks maintenance.  Released via termination listener on
+    # clean stop; acquire retries briefly to absorb the listener's
+    # asynchronous release after a just-terminated previous run.
+    # Skipped for URI-scheme index paths (local-fs lease; see the
+    # maintenance-probe comment above).
+    if lease_mod._URI_SCHEME.match(index_dir):
+        return writer.start()
+    stream_lease = lease_mod.DirLease(
+        index_dir, name="_stream_lock", role="near-dedup stream"
+    ).acquire(retry_seconds=10)
+    listener = _ReleaseOnTerminate(spark, stream_lease)
+    spark.streams.addListener(listener)
+    try:
+        q = writer.start()
+    except BaseException:
+        listener.force_release()
+        raise
+    listener.bind(str(q.id))
+    return q
+
+
+class _ReleaseOnTerminate(StreamingQueryListener):
+    """Listener releasing a stream's index lease when ITS query
+    terminates.  Termination events arrive on a separate dispatch
+    thread, possibly before the caller learns the query id — ``bind``
+    reconciles both orders; release is idempotent."""
+
+    def __init__(self, spark: SparkSession, lease_obj):
+        super().__init__()
+        self._spark = spark
+        self._lease = lease_obj
+        self._qid: Optional[str] = None
+        self._terminated: set = set()
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        pass
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        qid = str(event.id)
+        self._terminated.add(qid)
+        if self._qid is not None and qid == self._qid:
+            self.force_release()
+
+    def bind(self, qid: str) -> None:
+        self._qid = qid
+        if qid in self._terminated:  # terminated before bind — late release
+            self.force_release()
+
+    def force_release(self) -> None:
+        lease_obj, self._lease = self._lease, None
+        if lease_obj is not None:
+            lease_obj.release()
+            try:
+                self._spark.streams.removeListener(self)
+            except Exception:
+                pass  # already removed / session tearing down
 
 
 def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32) -> dict:
@@ -371,14 +431,44 @@ def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32)
     index dir and repoint the stream) — the read path is identical.
 
     Holds the index maintenance lease for the duration: two concurrent
-    compactions would both stage and swap the same table paths.
+    compactions would both stage and swap the same table paths.  A
+    LIVE near-dedup stream on the index refuses maintenance (the other
+    direction of the stream-start fence): swapping tables under a
+    running reader is exactly the torn state the offline contract
+    forbids.
     """
     import shutil as _shutil
 
-    from latex_ocr_spark.lease import DirLease
+    from latex_ocr_spark.lease import DirLease, require_local_path
 
+    require_local_path(index_dir, "compact_index")
     with DirLease(index_dir, name="_maintenance_lock", role="index maintenance"):
+        _refuse_live_stream(index_dir, "compact")
         return _compact_index_locked(spark, index_dir, num_partitions, _shutil)
+
+
+def _refuse_live_stream(index_dir: str, what: str,
+                        grace_seconds: float = 15.0) -> None:
+    """Refuse maintenance while a near-dedup stream holds the index's
+    stream lease.  Retries briefly first: a just-terminated query's
+    lease is released by a listener on an ASYNC dispatch thread, so
+    "stopped stream, ran maintenance" — the documented workflow —
+    must not flake on that dispatch latency."""
+    import time as _time
+
+    deadline = _time.monotonic() + grace_seconds
+    while True:
+        state, holder = lease_mod.probe(index_dir, "_stream_lock")
+        if state == "free":
+            return
+        if _time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"refusing to {what} index at {index_dir}: a near-dedup "
+                f"stream is live on it (pid {holder.get('pid')} on "
+                f"{holder.get('host')}) — maintenance under a running "
+                "reader produces torn reads; stop the stream first"
+            )
+        _time.sleep(0.2)
 
 
 def _compact_index_locked(spark, index_dir, num_partitions, _shutil) -> dict:
@@ -406,17 +496,21 @@ def _compact_index_locked(spark, index_dir, num_partitions, _shutil) -> dict:
 
 
 def list_index_batches(index_dir: str) -> list:
-    """Sorted real batch ids present in the signatures table (the -1
-    compaction partition is not a batch and is excluded)."""
-    sig = os.path.join(index_dir, "signatures")
-    if not os.path.isdir(sig):
-        return []
-    out = []
-    for name in os.listdir(sig):
-        if name.startswith(f"{BATCH_COL}="):
-            b = int(name.split("=", 1)[1])
-            if b >= 0:
-                out.append(b)
+    """Sorted real batch ids present in EITHER index table (the -1
+    compaction partition is not a batch and is excluded).  The union —
+    not just signatures — so a prune that crashed between its
+    signatures-first and shingles deletes still sees the half-pruned
+    batch and can finish removing its shingle partitions on re-run."""
+    out = set()
+    for sub in ("shingles", "signatures"):
+        table = os.path.join(index_dir, sub)
+        if not os.path.isdir(table):
+            continue
+        for name in os.listdir(table):
+            if name.startswith(f"{BATCH_COL}="):
+                b = int(name.split("=", 1)[1])
+                if b >= 0:
+                    out.add(b)
     return sorted(out)
 
 
@@ -465,13 +559,15 @@ def prune_index(
     """
     import shutil as _shutil
 
-    from latex_ocr_spark.lease import DirLease
+    from latex_ocr_spark.lease import DirLease, require_local_path
 
     if (min_batch_id is None) == (keep_last_n is None):
         raise ValueError("pass exactly one of min_batch_id / keep_last_n")
     if keep_last_n is not None and keep_last_n < 1:
         raise ValueError("keep_last_n must be ≥ 1")
+    require_local_path(index_dir, "prune_index")
     with DirLease(index_dir, name="_maintenance_lock", role="index maintenance"):
+        _refuse_live_stream(index_dir, "prune")
         return _prune_index_locked(
             spark, index_dir, min_batch_id, keep_last_n, _shutil
         )
@@ -494,7 +590,7 @@ def _prune_index_locked(spark, index_dir, min_batch_id, keep_last_n, _shutil):
         pruned = [b for b in batches if b < min_batch_id]
     else:
         pruned = batches[:-keep_last_n] if len(batches) > keep_last_n else []
-    kept = [b for b in batches if b not in set(pruned)]
+    kept = batches[len(pruned):]  # both selectors prune a sorted prefix
     has_compacted = os.path.isdir(
         os.path.join(index_dir, "signatures", f"{BATCH_COL}=-1")
     )

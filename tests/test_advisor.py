@@ -292,3 +292,29 @@ def test_derive_lsh_params_property_fuzz():
         assert got["noise_collision"] <= got["expected_recall"]
 
     check()
+
+
+def test_infeasible_threshold_fails_auto_knobs_loudly(spark):
+    """Only the benign empty-survey case may degrade to parser
+    defaults; a bad --dedup-threshold (out of range / infeasible grid)
+    must kill the job loudly — swallowing it would also silently drop
+    the blowup caps the survey DID produce."""
+    import argparse
+
+    import pytest
+
+    from latex_ocr_spark.operators.advisor import resolve_auto_knobs
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-tokens", type=int, default=5, dest="min_tokens")
+    ap.add_argument("--num-hashes", type=int, default=8, dest="num_hashes")
+    ap.add_argument("--band-size", type=int, default=2, dest="band_size")
+    ap.add_argument("--dedup-threshold", type=float, default=0.5,
+                    dest="dedup_threshold")
+    ap.add_argument("--ngram", type=int, default=1)
+    ap.add_argument("--max-df", type=int, dest="max_df")
+    ap.add_argument("--max-bucket-size", type=int, dest="max_bucket_size")
+    ap.add_argument("--near-dup-method", default="lsh", dest="near_dup_method")
+    args = ap.parse_args(["--dedup-threshold", "5"])  # typo for 0.5
+    with pytest.raises(ValueError, match="threshold"):
+        resolve_auto_knobs(_corpus(spark, n=20), args, ap)

@@ -461,3 +461,99 @@ def test_stream_refuses_index_under_live_maintenance(spark, dirs):
     got = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
     assert got == sorted(list(range(20)) + [200 + i for i in range(10)])
     cachepool.release()
+
+
+def test_prune_rerun_finishes_half_pruned_batch(spark, dirs):
+    """Crash-idempotency of prune: the signatures-first delete can die
+    before the shingle delete; a re-run must still see the half-pruned
+    batch (union listing across BOTH tables) and remove its orphaned
+    shingle partitions — otherwise the retention policy leaks exactly
+    the data it pruned, and a later compaction folds the orphans into
+    the -1 partition as permanent garbage."""
+    import os
+    import shutil as sh
+
+    from latex_ocr_spark.streaming.near_dedup import (
+        list_index_batches,
+        prune_index,
+    )
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    idx = f"{dirs}/index"
+
+    # simulate the mid-prune crash window: signatures of batch 0
+    # deleted, shingles left behind
+    sh.rmtree(f"{idx}/signatures/batch_id=0")
+    assert os.path.isdir(f"{idx}/shingles/batch_id=0")
+    assert list_index_batches(idx) == [0, 1]  # union sees the orphan
+
+    got = prune_index(spark, idx, min_batch_id=1)
+    assert got == {"pruned": [0], "kept": [1]}
+    assert not os.path.isdir(f"{idx}/shingles/batch_id=0")
+
+
+def test_maintenance_refuses_live_stream_lease(spark, dirs):
+    """The fence's other direction: compact/prune must refuse while a
+    stream holds the index's stream lease (swapping tables under a
+    live reader is torn state)."""
+    from latex_ocr_spark.lease import DirLease
+    from latex_ocr_spark.streaming.near_dedup import _refuse_live_stream
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    idx = f"{dirs}/index"
+
+    # retry absorbs the just-terminated stream's asynchronous release
+    held = DirLease(idx, name="_stream_lock", role="near-dedup stream").acquire(
+        retry_seconds=10
+    )
+    with pytest.raises(RuntimeError, match="stream is live"):
+        _refuse_live_stream(idx, "compact", grace_seconds=0.3)
+    held.release()
+    _refuse_live_stream(idx, "compact", grace_seconds=0.3)  # free: no-op
+
+
+def test_stream_lease_held_during_run_released_after(spark, dirs):
+    """The stream takes the index stream-lease for the query's
+    lifetime and a termination listener releases it — sequential runs
+    re-acquire (bounded retry absorbs the async release)."""
+    import os
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    # released (possibly asynchronously) after termination
+    import time
+
+    deadline = time.monotonic() + 10
+    while os.path.exists(f"{dirs}/index/_stream_lock"):
+        assert time.monotonic() < deadline, "stream lease never released"
+        time.sleep(0.2)
+    # and a second run re-acquires without manual cleanup
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+
+
+def test_maintenance_rejects_object_store_paths():
+    """The local-fs maintenance ops must reject URI-scheme paths
+    loudly — os.listdir('s3://…') silently sees nothing, which would
+    make prune report success while the index grows forever."""
+    from latex_ocr_spark.lease import DirLease
+    from latex_ocr_spark.streaming.near_dedup import (
+        prune_index,
+        recover_compaction,
+    )
+
+    with pytest.raises(NotImplementedError, match="local/POSIX"):
+        recover_compaction("s3://bucket/neardup_index")
+    with pytest.raises(NotImplementedError, match="local/POSIX"):
+        prune_index(None, "s3://bucket/neardup_index", keep_last_n=1)
+    with pytest.raises(NotImplementedError, match="local/POSIX"):
+        DirLease("hdfs://nn/checkpoints/run1")
