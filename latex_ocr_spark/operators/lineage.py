@@ -76,7 +76,42 @@ def run_resumable_extract(
     units were (re)processed.  ``fail_on_units`` injects a crash after
     the output commit of the listed units — test hook for the
     crash-between-commits window.
+
+    Single-writer: holds a lease on the lineage dir for the run — two
+    concurrent extract jobs would compute the same pending set, race
+    dynamic overwrites of the same work_key directories, and append
+    lineage rows describing each other's bytes (the same interleaving
+    the funnel's CheckpointLease fences).  A second run fails loudly;
+    a crashed run's lease auto-releases (flock).  Skipped for
+    URI-scheme lineage paths, where the local-fs lease cannot see
+    anything — see lease.py for the object-store note.  The lock file
+    lives inside the lineage dir; Spark's parquet reader ignores
+    underscore-prefixed files.
     """
+    from contextlib import nullcontext
+
+    from latex_ocr_spark import lease as lease_mod
+
+    fence = (
+        nullcontext()
+        if lease_mod._URI_SCHEME.match(lineage_path)
+        else lease_mod.DirLease(lineage_path, role="extract job")
+    )
+    with fence:
+        return _run_resumable_extract_locked(
+            spark, transcripts, output_path, lineage_path, n_units,
+            fail_on_units,
+        )
+
+
+def _run_resumable_extract_locked(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_path: str,
+    lineage_path: str,
+    n_units: int,
+    fail_on_units: Optional[set],
+) -> int:
     from latex_ocr_spark.operators.extract import extract_spans_with_failures
 
     pending = pending_work(transcripts, spark, lineage_path, n_units)

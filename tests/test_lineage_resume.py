@@ -110,3 +110,29 @@ def test_crash_between_commits_recovers(spark, dirs):
     lineage = spark.read.parquet(lin)
     assert lineage.count() == N_UNITS
     assert lineage.filter(F.col("n_spans") < 0).count() == 0
+
+
+def test_extract_job_is_single_writer(spark, tmp_path):
+    """Two concurrent resumable-extract runs on one lineage dir would
+    compute the same pending set, race dynamic overwrites of the same
+    work_key dirs, and append lineage rows describing each other's
+    bytes — the lease makes the second fail loudly while the first
+    holds it, and a crashed holder's flock auto-releases."""
+    import pytest
+
+    from latex_ocr_spark.lease import DirLease
+    from latex_ocr_spark.operators.lineage import run_resumable_extract
+    from latex_ocr_spark.sources.tables import synth_transcripts
+
+    transcripts = synth_transcripts(spark, 20)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+
+    held = DirLease(lin, role="extract job").acquire()
+    with pytest.raises(RuntimeError, match="leased to a running extract job"):
+        run_resumable_extract(spark, transcripts, out, lin, n_units=4)
+    held.release()
+
+    n = run_resumable_extract(spark, transcripts, out, lin, n_units=4)
+    assert n == 4
+    # released on completion: an immediate rerun is a clean no-op
+    assert run_resumable_extract(spark, transcripts, out, lin, n_units=4) == 0
