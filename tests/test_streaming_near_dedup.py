@@ -557,3 +557,47 @@ def test_maintenance_rejects_object_store_paths():
         prune_index(None, "s3://bucket/neardup_index", keep_last_n=1)
     with pytest.raises(NotImplementedError, match="local/POSIX"):
         DirLease("hdfs://nn/checkpoints/run1")
+
+
+def test_near_dedup_stream_job_cli(spark, dirs):
+    """The spark-submit entry point for the streaming near-dedup:
+    synth → process-available → exit; re-run catches up on new files
+    only; --auto-knobs derives from the input survey on a fresh index
+    and ADOPTS the index _meta knobs on restart (re-deriving over a
+    grown corpus would drift the fingerprint and refuse)."""
+    import json as J
+    import subprocess
+    import sys as _sys
+
+    def job(*argv):
+        r = subprocess.run(
+            [_sys.executable, "/root/repo/jobs/near_dedup_job.py",
+             "--input", f"{dirs}/in", "--output", f"{dirs}/out",
+             "--index", f"{dirs}/index", "--checkpoint", f"{dirs}/ckpt",
+             "--cores", "4", "--ngram", "1", *argv],
+            capture_output=True, text=True, timeout=280,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return J.loads(r.stdout.strip().splitlines()[-1])
+
+    out = job("--synth", "30", "--auto-knobs")
+    assert out["accepted"] == 30
+    assert out["auto_knobs"]["_source"] == "input survey (fresh index)"
+    # S-curve derivation applied on the fresh index
+    assert out["auto_knobs"]["num_hashes"] > 0
+    assert out["index_batches"] == [0]
+    knobs1 = {k: out["auto_knobs"].get(k) for k in ("num_hashes", "band_size")}
+
+    # second run: one exact dup of doc 7 + one new doc arrive
+    _batch = spark.createDataFrame(
+        [(900, "sa7 sb21 sc49 sd77 se91"), (901, "zz1 zz2 zz3 zz4 zz5")],
+        "doc_id long, text string",
+    )
+    _batch.write.mode("append").parquet(f"{dirs}/in")
+    out2 = job("--auto-knobs")
+    # restart adopts _meta: same knobs, labeled as such, and the
+    # duplicate of history is dropped while the new doc is accepted
+    assert "index _meta" in out2["auto_knobs"]["_source"]
+    assert {k: out2["auto_knobs"].get(k) for k in knobs1} == knobs1
+    assert out2["accepted"] == 31
+    assert out2["index_batches"] == [0, 1]
