@@ -106,44 +106,75 @@ def main() -> int:
     )
     q.awaitTermination()
 
-    accepted = read_stream_output(spark, args.output).count()
+    from pyspark.errors import AnalysisException
+
+    from latex_ocr_spark.lease import is_uri_path
+
+    try:
+        accepted = read_stream_output(spark, args.output).count()
+    except AnalysisException as e:
+        # first invocation before any producer wrote input files: the
+        # query processed zero batches and never created the output
+        # dir — that is accepted == 0, not a crash
+        if not ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)):
+            raise
+        accepted = 0
     print(json.dumps({
         "auto_knobs": applied,
         "accepted": accepted,
+        # partition listing is local-fs; None = "not listable here",
+        # distinct from [] = "no batches"
         "index_batches": list_index_batches(args.index)
-        if not args.index.startswith(("s3://", "hdfs://")) else None,
+        if not is_uri_path(args.index) else None,
     }))
     return 0
 
 
 def _resolve_stream_knobs(spark, args, parser) -> dict:
     """--auto-knobs for the stream (see module docstring): adopt the
-    index _meta knobs when an index exists, else survey-and-derive."""
+    index _meta knobs when an index exists, else survey-and-derive via
+    the shared advisor core (`survey_and_apply_lsh_knobs` — same
+    defaulted-only / coupled-pair / empty-survey-degrade policy as the
+    batch jobs, one implementation)."""
     from pyspark.errors import AnalysisException
 
-    from latex_ocr_spark.operators.advisor import (
-        EmptySurveyError,
-        suggest_knobs,
-        survey_corpus,
-    )
+    from latex_ocr_spark.operators.advisor import survey_and_apply_lsh_knobs
 
     applied: dict = {}
 
-    def maybe(name, value):
+    def adopt(name, value):
         if value is not None and getattr(args, name) == parser.get_default(name):
             setattr(args, name, value)
             applied[name] = value
 
+    from latex_ocr_spark.lease import is_uri_path
+    from latex_ocr_spark.streaming.near_dedup import list_index_batches
+
     meta_path = os.path.join(args.index, "_meta")
     try:
         recorded = json.loads(spark.read.text(meta_path).first()[0])
-        for knob in ("threshold", "num_hashes", "band_size", "ngram"):
-            maybe(knob, recorded.get(knob))
-        applied["_source"] = (
-            "index _meta — an existing index is only comparable under "
-            "the knobs that built it"
+        # a fingerprint with NO indexed data behind it (e.g. a cron
+        # first-firing before any producer wrote input) has pinned
+        # nothing: dropping it lets this run derive from the first
+        # real data instead of inheriting defaults forever.  Only
+        # decidable on a local index (partition listing).
+        index_is_empty = (
+            not is_uri_path(args.index)
+            and not list_index_batches(args.index)
+            and not os.path.isdir(os.path.join(args.index, "signatures"))
         )
-        return applied
+        if not index_is_empty:
+            for knob in ("threshold", "num_hashes", "band_size", "ngram"):
+                adopt(knob, recorded.get(knob))
+            applied["_source"] = (
+                "index _meta — an existing index is only comparable under "
+                "the knobs that built it"
+            )
+            return applied
+        import shutil
+
+        shutil.rmtree(meta_path)  # stream re-fingerprints with the
+        # derived knobs below
     except AnalysisException as e:
         if not ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)):
             raise
@@ -151,27 +182,19 @@ def _resolve_stream_knobs(spark, args, parser) -> dict:
     try:
         docs = spark.read.parquet(args.input).select("doc_id", "text")
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # missing dir AND existing-but-empty dir (cron fired before
+        # any producer) are both "no input yet"
+        if any(tag in str(e) for tag in (
+            "PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA"
+        )):
             return {"_note": "no input yet, parser defaults kept"}
         raise
-    try:
-        rec = suggest_knobs(
-            survey_corpus(
-                docs, sample_fraction=args.auto_knobs_sample,
-                ngram=args.ngram,
-            ).first(),
-            target_threshold=args.threshold,
-        )
-    except EmptySurveyError as e:
-        return {"_note": f"survey empty, parser defaults kept ({e})"}
-    lsh_defaulted = (
-        args.num_hashes == parser.get_default("num_hashes")
-        and args.band_size == parser.get_default("band_size")
+    rec, applied, maybe = survey_and_apply_lsh_knobs(
+        docs, args, parser, threshold_attr="threshold",
+        sample_fraction=args.auto_knobs_sample,
     )
-    if lsh_defaulted:
-        maybe("num_hashes", rec["num_hashes"])
-        maybe("band_size", rec["band_size"])
-        applied["expected_recall"] = rec["expected_recall"]
+    if rec is None:
+        return applied  # empty survey: defaults kept, with note
     maybe("max_bucket_size", rec["max_bucket_size"])
     applied["_source"] = "input survey (fresh index)"
     return applied

@@ -38,6 +38,7 @@ import json
 import os
 import re
 import socket
+import threading
 import time
 from typing import Optional, Tuple
 
@@ -58,6 +59,13 @@ def require_local_path(path: str, what: str) -> None:
         )
 
 
+def is_uri_path(path: str) -> bool:
+    """True for scheme'd paths (``s3a://…``, ``hdfs://…``, …) that the
+    local-fs lease machinery cannot see — callers use this to SKIP the
+    fence with a documented note rather than pretend to hold it."""
+    return bool(_URI_SCHEME.match(path))
+
+
 def read_holder(lock_path: str) -> dict:
     """Best-effort parse of a lock file's JSON payload (diagnostics
     only — flock is the actual mutex)."""
@@ -68,20 +76,35 @@ def read_holder(lock_path: str) -> dict:
         return {"pid": None, "host": "?", "started": "?", "role": "writer"}
 
 
+def _read_holder_fd(fd: int) -> Optional[dict]:
+    """Holder payload read through an already-open fd — immune to the
+    file being unlinked between open and read.  None when the payload
+    is empty/garbage (mid-write crash or a lock mid-release)."""
+    try:
+        data = os.pread(fd, 1 << 16, 0)
+        return json.loads(data) if data else None
+    except (OSError, ValueError):
+        return None
+
+
 def probe(state_dir: str, name: str = "_lock") -> Tuple[str, dict]:
     """Non-destructive lease state check for OTHER components' locks
     (e.g. the stream checking the maintenance lock, maintenance
     checking the stream lock).  Returns (state, holder):
 
-    - ``"free"``       — no lock file, or a same-host payload with no
-      live flock and a dead pid (leftover from a crashed run);
+    - ``"free"``       — no lock file; a payload-less file with no
+      live flock (crashed mid-create, or caught mid-release — the
+      same states DirLease.acquire self-heals); or a same-host
+      payload with no live flock and a dead pid;
     - ``"held"``       — a live local holder (flock held, or a
       same-host payload whose pid is alive — conservative for
       flock-less files written by hand or older builds);
     - ``"remote"``     — payload from another host: liveness
       unverifiable, treat as held.
 
-    Never modifies the file.
+    Never modifies the file.  The payload is read through the open fd,
+    so a holder releasing (unlink) mid-probe reads as the state it
+    left behind, never as a phantom unverifiable holder.
     """
     path = os.path.join(state_dir, name)
     require_local_path(path, "lease probe")
@@ -98,11 +121,13 @@ def probe(state_dir: str, name: str = "_lock") -> Tuple[str, dict]:
             if e.errno not in (errno.EWOULDBLOCK, errno.EAGAIN):
                 raise
             flocked = True
+        holder = _read_holder_fd(fd)
     finally:
         os.close(fd)
-    holder = read_holder(path)
     if flocked:
-        return "held", holder
+        return "held", holder or {}
+    if holder is None:
+        return "free", {}
     if holder.get("host") not in (socket.gethostname(),):
         return "remote", holder
     if isinstance(holder.get("pid"), int) and _pid_alive(holder["pid"]):
@@ -117,6 +142,10 @@ class DirLease:
         self.path = os.path.join(state_dir, name)
         self.role = role
         self._fd: Optional[int] = None
+        # release can race between a caller thread and a streaming
+        # termination-listener dispatch thread — the fd pop must be
+        # atomic or the loser flocks an already-closed fd
+        self._release_mutex = threading.Lock()
 
     def acquire(self, retry_seconds: float = 0.0) -> "DirLease":
         """Take the lease or raise.  ``retry_seconds`` bounds a retry
@@ -192,8 +221,9 @@ class DirLease:
         )
 
     def release(self) -> None:
-        if self._fd is not None:
+        with self._release_mutex:
             fd, self._fd = self._fd, None
+        if fd is not None:
             try:
                 os.unlink(self.path)
             except FileNotFoundError:

@@ -259,38 +259,67 @@ def resolve_auto_knobs(docs, args, parser, sample_fraction: Optional[float] = No
     An EMPTY survey (no documents / no shingles under the sample
     fraction) keeps every parser default and says so in the returned
     dict instead of crashing the job pre-flight."""
-    row = survey_corpus(
-        docs, sample_fraction=sample_fraction, ngram=args.ngram
-    ).first()
+    rec, applied, maybe = survey_and_apply_lsh_knobs(
+        docs, args, parser, threshold_attr="dedup_threshold",
+        sample_fraction=sample_fraction,
+    )
+    if rec is None:
+        return applied  # empty survey: parser defaults kept, with note
+    maybe("min_tokens", rec["min_tokens"])
+    if args.near_dup_method == "jaccard":
+        maybe("max_df", rec["max_df"])
+    else:
+        maybe("max_bucket_size", rec["max_bucket_size"])
+    return applied
+
+
+def survey_and_apply_lsh_knobs(
+    docs,
+    args,
+    parser,
+    *,
+    threshold_attr: str,
+    sample_fraction: Optional[float] = None,
+):
+    """The shared --auto-knobs core (curate/prepare jobs AND the
+    streaming near-dedup job): survey at ``args.ngram``, derive the
+    coupled (num_hashes, band_size) from the S-curve ONLY when both
+    flags sit at their parser defaults (threshold read from
+    ``threshold_attr`` — the jobs name it differently), and apply the
+    pair.  When either is user-pinned the legacy num_hashes heuristic
+    still fills a defaulted num_hashes, and no derivation runs — so an
+    infeasible threshold cannot crash a run whose derivation result
+    would be discarded anyway.
+
+    Returns ``(rec, applied, maybe)``: the raw recommendation (or
+    ``None`` after an empty survey — the ONLY swallowed failure; a
+    derivation failure from a bad threshold raises), the applied-knobs
+    dict for job logging, and the ``maybe(name, value)`` closure for
+    the caller's job-specific knobs (caps, min_tokens)."""
     lsh_defaulted = (
         args.num_hashes == parser.get_default("num_hashes")
         and args.band_size == parser.get_default("band_size")
     )
     try:
         rec = suggest_knobs(
-            row,
-            target_threshold=args.dedup_threshold if lsh_defaulted else None,
+            survey_corpus(
+                docs, sample_fraction=sample_fraction, ngram=args.ngram
+            ).first(),
+            target_threshold=(
+                getattr(args, threshold_attr) if lsh_defaulted else None
+            ),
         )
     except EmptySurveyError as e:
-        # ONLY the benign no-data case degrades to parser defaults; a
-        # derivation failure (bad/infeasible --dedup-threshold) must
-        # kill the job loudly — swallowing it would also silently drop
-        # the max_df/max_bucket_size blowup caps the survey DID produce
-        return {"_note": f"survey empty, parser defaults kept ({e})"}
-    applied = {}
+        return None, {"_note": f"survey empty, parser defaults kept ({e})"}, None
+    applied: dict = {}
 
     def maybe(name, value):
         if getattr(args, name) == parser.get_default(name):
             setattr(args, name, value)
             applied[name] = value
 
-    maybe("min_tokens", rec["min_tokens"])
     maybe("num_hashes", rec["num_hashes"])
     if lsh_defaulted and "band_size" in rec:
         maybe("band_size", rec["band_size"])
         applied["expected_recall"] = rec["expected_recall"]
-    if args.near_dup_method == "jaccard":
-        maybe("max_df", rec["max_df"])
-    else:
-        maybe("max_bucket_size", rec["max_bucket_size"])
-    return applied
+    return rec, applied, maybe

@@ -94,7 +94,7 @@ def run_resumable_extract(
 
     fence = (
         nullcontext()
-        if lease_mod._URI_SCHEME.match(lineage_path)
+        if lease_mod.is_uri_path(lineage_path)
         else lease_mod.DirLease(lineage_path, role="extract job")
     )
     with fence:

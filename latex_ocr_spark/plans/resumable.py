@@ -159,8 +159,22 @@ def curate_corpus_resumable(
     whole run (see :class:`CheckpointLease` — concurrent writers on one
     checkpoint would interleave artifact/lineage commits), then run or
     resume the funnel.  All keyword knobs are those of
-    :func:`_curate_resumable_impl`, the lease-free implementation."""
-    with CheckpointLease(checkpoint_dir.rstrip("/")):
+    :func:`_curate_resumable_impl`, the lease-free implementation.
+
+    URI-scheme checkpoint dirs (``s3a://…``) skip the local-fs lease
+    with the documented object-store note — same policy as
+    run_resumable_extract; refusing outright would regress runs the
+    pre-lease code allowed."""
+    from contextlib import nullcontext
+
+    from latex_ocr_spark.lease import is_uri_path
+
+    fence = (
+        nullcontext()
+        if is_uri_path(checkpoint_dir)
+        else CheckpointLease(checkpoint_dir.rstrip("/"))
+    )
+    with fence:
         return _curate_resumable_impl(spark, docs, checkpoint_dir, evalset, **knobs)
 
 

@@ -144,7 +144,49 @@ def start_near_dedup_stream(
 
     ``_fail_batches`` injects a crash after the named batches' writes,
     before the checkpoint commit — the replay window the idempotent
-    sinks exist for."""
+    sinks exist for.
+
+    Acquire-then-check: the stream lease is taken BEFORE the
+    maintenance probe and index sanity checks run — checking first
+    would leave a window where maintenance starts (its own
+    stream-probe still seeing no lease) while this stream finishes
+    its checks, and both would proceed.  Mirrors compact/prune's
+    lease-then-probe order; released on any refusal/start failure.
+    Skipped for URI-scheme index paths (local-fs lease; the
+    maintenance ops refuse such paths loudly, so the overlap cannot
+    arise from this repo's tooling)."""
+    stream_lease = None
+    if not lease_mod.is_uri_path(index_dir):
+        stream_lease = lease_mod.DirLease(
+            index_dir, name="_stream_lock", role="near-dedup stream"
+        ).acquire(retry_seconds=10)
+    try:
+        return _start_near_dedup_stream_fenced(
+            spark, input_dir, output_dir, index_dir, checkpoint_dir,
+            threshold, num_hashes, band_size, ngram, max_bucket_size,
+            available_now, _fail_batches, stream_lease,
+        )
+    except BaseException:
+        if stream_lease is not None:
+            stream_lease.release()  # idempotent: no-op if the listener won
+        raise
+
+
+def _start_near_dedup_stream_fenced(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    threshold: float,
+    num_hashes: int,
+    band_size: int,
+    ngram: int,
+    max_bucket_size: Optional[int],
+    available_now: bool,
+    _fail_batches: Optional[set],
+    stream_lease,
+):
     import json
 
     from latex_ocr_spark import cachepool
@@ -187,11 +229,10 @@ def start_near_dedup_stream(
     # unverifiable-remote) maintenance holder refuses the stream; a
     # dead holder's leftover lock does not block (the stream never
     # deletes a lock it doesn't own — the next maintenance run cleans
-    # it).  Skipped for URI-scheme index paths, where the local-fs
-    # lease cannot see anything (the maintenance ops themselves refuse
-    # such paths loudly, so the overlap cannot arise from this repo's
-    # tooling).
-    if not lease_mod._URI_SCHEME.match(index_dir):
+    # it).  The probe runs while OUR stream lease is already held
+    # (acquire-then-check), so maintenance starting after this point
+    # refuses on its own stream-probe.
+    if stream_lease is not None:
         state, holder = lease_mod.probe(index_dir, "_maintenance_lock")
         if state != "free":
             raise RuntimeError(
@@ -330,20 +371,16 @@ def start_near_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
 
-    # hold a stream lease on the index for the query's lifetime so
-    # maintenance refuses while batches are reading/writing it (the
-    # other direction of the fence above).  flock-based: the kernel
-    # releases it the instant this process dies, so a crashed stream
-    # never blocks maintenance.  Released via termination listener on
-    # clean stop; acquire retries briefly to absorb the listener's
-    # asynchronous release after a just-terminated previous run.
-    # Skipped for URI-scheme index paths (local-fs lease; see the
-    # maintenance-probe comment above).
-    if lease_mod._URI_SCHEME.match(index_dir):
+    # the stream lease (acquired by the public wrapper, before any
+    # check) is held for the query's lifetime so maintenance refuses
+    # while batches are reading/writing the index.  flock-based: the
+    # kernel releases it the instant this process dies, so a crashed
+    # stream never blocks maintenance.  Released via termination
+    # listener on clean stop (the wrapper's acquire retries briefly to
+    # absorb the listener's asynchronous release after a
+    # just-terminated previous run).
+    if stream_lease is None:
         return writer.start()
-    stream_lease = lease_mod.DirLease(
-        index_dir, name="_stream_lock", role="near-dedup stream"
-    ).acquire(retry_seconds=10)
     listener = _ReleaseOnTerminate(spark, stream_lease)
     spark.streams.addListener(listener)
     try:

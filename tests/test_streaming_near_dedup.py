@@ -601,3 +601,81 @@ def test_near_dedup_stream_job_cli(spark, dirs):
     assert {k: out2["auto_knobs"].get(k) for k in knobs1} == knobs1
     assert out2["accepted"] == 31
     assert out2["index_batches"] == [0, 1]
+
+
+def test_stream_job_first_run_with_empty_input_reports_zero(spark, dirs):
+    """The documented cron shape's first firing can precede any
+    producer: zero batches, no output dir — the job must print
+    accepted=0 (not crash on a PATH_NOT_FOUND read), keep defaults
+    under --auto-knobs with a note, and NOT let the data-less first
+    firing's _meta fingerprint pin defaults forever: the first run
+    with real data still derives from the survey."""
+    import json as J
+    import os
+    import subprocess
+    import sys as _sys
+
+    def job(*argv):
+        r = subprocess.run(
+            [_sys.executable, "/root/repo/jobs/near_dedup_job.py",
+             "--input", f"{dirs}/in", "--output", f"{dirs}/out",
+             "--index", f"{dirs}/index", "--checkpoint", f"{dirs}/ckpt",
+             "--cores", "4", "--ngram", "1", *argv],
+            capture_output=True, text=True, timeout=280,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return J.loads(r.stdout.strip().splitlines()[-1])
+
+    os.makedirs(f"{dirs}/in", exist_ok=True)  # dir exists, no files
+    out = job("--auto-knobs")
+    assert out["accepted"] == 0
+    assert "no input yet" in out["auto_knobs"]["_note"]
+
+    # real data arrives: the empty firing's fingerprint (no indexed
+    # data behind it) is dropped and the survey derivation runs
+    out = job("--synth", "12", "--auto-knobs")
+    assert out["accepted"] == 12
+    assert out["auto_knobs"]["_source"] == "input survey (fresh index)"
+    assert out["auto_knobs"]["num_hashes"] > 0
+
+
+def test_probe_treats_payloadless_lock_as_free(spark, dirs):
+    """A lock file with no payload (crash between create and write, or
+    caught mid-release) must probe as 'free' — reporting it as an
+    unverifiable remote holder would block stream starts forever on a
+    file DirLease.acquire would happily self-heal."""
+    import os
+
+    from latex_ocr_spark.lease import probe
+
+    os.makedirs(f"{dirs}/idx", exist_ok=True)
+    open(f"{dirs}/idx/_maintenance_lock", "w").close()  # empty file
+    state, holder = probe(f"{dirs}/idx", "_maintenance_lock")
+    assert state == "free"
+
+
+def test_stream_lease_acquired_before_checks(spark, dirs):
+    """Acquire-then-check: the stream takes its lease BEFORE the
+    maintenance probe and sanity checks, so maintenance starting
+    mid-checks sees the stream lease and refuses — and a stream
+    refused by any check releases the lease on the way out."""
+    import os
+    import shutil as sh
+
+    from latex_ocr_spark.streaming.near_dedup import _refuse_live_stream
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    idx = f"{dirs}/index"
+
+    # make the stream fail a POST-lease check (swap residue), then
+    # verify the lease did not leak
+    sh.copytree(f"{idx}/signatures", f"{idx}/_bak_signatures")
+    with pytest.raises(RuntimeError, match="swap residue"):
+        start_near_dedup_stream(
+            spark, f"{dirs}/in", f"{dirs}/out", idx, f"{dirs}/ckpt", **KW
+        )
+    assert not os.path.exists(f"{idx}/_stream_lock")
+    sh.rmtree(f"{idx}/_bak_signatures")
+    _refuse_live_stream(idx, "compact", grace_seconds=0.3)  # free again
