@@ -679,3 +679,92 @@ def test_stream_lease_acquired_before_checks(spark, dirs):
     assert not os.path.exists(f"{idx}/_stream_lock")
     sh.rmtree(f"{idx}/_bak_signatures")
     _refuse_live_stream(idx, "compact", grace_seconds=0.3)  # free again
+
+
+def test_streaming_lifecycle_model_fuzz(spark, dirs):
+    """Model-based fuzz of the full stream + maintenance lifecycle:
+    random batches (new docs, exact copies of history, in-batch dup
+    pairs) interleaved with compact/prune, checked after every step
+    against a pure-Python model of the documented semantics —
+    first-seen survivor policy, compaction folding history into -1,
+    pruning forgetting (only) the pruned batches' witnesses.  Exact
+    copies only, so the dedup decision is deterministic (J=1 pairs
+    always collide in every band) and the model is exact."""
+    import random
+
+    from latex_ocr_spark.streaming.near_dedup import compact_index, prune_index
+
+    rng = random.Random(7)
+    kw = dict(threshold=0.5, ngram=1, num_hashes=8, band_size=2)
+
+    model_index = {}  # batch_id (or -1) -> set of retained texts
+    expected_output = set()  # doc_ids ever accepted
+    texts_accepted = []  # texts of accepted docs (for copy sampling)
+    next_id, batch_no = 0, 0
+
+    def fresh_text():
+        nonlocal next_id
+        i = next_id  # ids double as text seeds: all texts distinct
+        return f"fa{i} fb{i*3} fc{i*7} fd{i*11} fe{i*13}"
+
+    for _step in range(14):
+        op = rng.choices(["batch", "compact", "prune"], [0.6, 0.2, 0.2])[0]
+        if op == "batch":
+            rows = []
+            batch_texts = []
+            for _ in range(rng.randint(2, 6)):
+                kind = rng.random()
+                if kind < 0.5 or not texts_accepted:
+                    t = fresh_text()
+                elif kind < 0.8:
+                    t = rng.choice(texts_accepted)  # copy of history
+                elif batch_texts:
+                    t = rng.choice(batch_texts)  # in-batch dup
+                else:
+                    t = fresh_text()
+                rows.append((next_id, t))
+                batch_texts.append(t)
+                next_id += 1
+            spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+                "append"
+            ).parquet(f"{dirs}/in")
+            _run(spark, dirs, **kw)
+            cachepool.release()
+
+            retained_texts = set().union(*model_index.values()) if model_index else set()
+            admitted = set()
+            seen_in_batch = set()
+            for doc_id, t in rows:  # ids ascend: first row = canonical
+                if t in retained_texts or t in seen_in_batch:
+                    continue
+                seen_in_batch.add(t)
+                admitted.add(doc_id)
+                expected_output.add(doc_id)
+                texts_accepted.append(t)
+            model_index[batch_no] = {t for d, t in rows if d in admitted}
+            batch_no += 1
+        elif op == "compact":
+            if not model_index:
+                continue
+            compact_index(spark, f"{dirs}/index", num_partitions=2)
+            model_index = {-1: set().union(*model_index.values())}
+        else:
+            real = sorted(b for b in model_index if b >= 0)
+            if not real:
+                continue
+            k = rng.randint(1, len(real))
+            try:
+                prune_index(spark, f"{dirs}/index", keep_last_n=k)
+            except RuntimeError:
+                continue  # would empty the index (no -1): model unchanged
+            for b in real[:-k]:
+                del model_index[b]
+
+        got = sorted(
+            r.doc_id
+            for r in read_stream_output(spark, f"{dirs}/out").collect()
+        )
+        assert got == sorted(expected_output), (
+            f"step {_step} ({op}): output diverged from model"
+        )
+        cachepool.release()
