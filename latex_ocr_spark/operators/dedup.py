@@ -81,6 +81,60 @@ def _with_min_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _bind1(expr, fn):
+    """Evaluate ``expr`` exactly once per row and hand it to ``fn`` as a
+    lambda variable (a ``transform`` over a one-element array).
+
+    The guard this exists for: a named intermediate column referenced
+    several times downstream can be re-inlined by CollapseProject /
+    filter pushdown, so an expensive expression (tokenize + shingle) is
+    re-evaluated per reference — and an expression captured inside a
+    higher-order lambda (``element_at(toks, i)``) is re-evaluated per
+    ELEMENT access, turning an O(tokens) projection into O(tokens²)
+    (measured: one 32-task shingle stage burned ~100 s/task at sf1.0).
+    A lambda variable is bound once per row by construction; the
+    optimizer cannot substitute through it."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _shingle_expr(toks, ngram: int):
+    """n-gram shingle array from a BOUND token-array (lambda variable or
+    attribute — never a raw expression, see :func:`_bind1`)."""
+    if ngram == 1:
+        return toks
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (ngram - 1), F.lit(0))),
+        lambda _t, i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]
+        ),
+    )
+
+
+def doc_shingle_arrays(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    parallel_hint: bool = True,
+) -> DataFrame:
+    """(id, shingles) — the DISTINCT shingle set per document as one
+    array column, computed entirely row-wise: no explode, no distinct
+    exchange, no groupBy.  ``shingles`` may be NULL (null text) or
+    empty (too few tokens); consumers that key on shingles filter
+    ``size(shingles) > 0`` — the explode path drops such rows
+    implicitly, so both representations agree document-for-document.
+
+    This is the scale lever for the whole MinHash/LSH family (guide
+    §2.3/§2.4 shuffle-fewer-bytes / remove-shuffles): signatures, sizes
+    and exact-verify intersections are all per-document functions of
+    this set, so none of them needs the exploded (id, shingle) relation
+    or its corpus-wide exchanges."""
+    if parallel_hint:
+        docs = _with_min_parallelism(docs)
+    sh = _bind1(_tokens(text_col), lambda t: F.array_distinct(_shingle_expr(t, ngram)))
+    return docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+
+
 def doc_shingles(
     docs: DataFrame,
     text_col: str = "text",
@@ -90,29 +144,16 @@ def doc_shingles(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; shingle = n consecutive tokens.
 
-    The shingle explode multiplies rows ~tokens-per-doc× — the
-    amplification guard ensures it never runs serial on an
-    under-partitioned input.  Pass ``parallel_hint=False`` for inputs
-    KNOWN to be small (an eval/benchmark set): fanning a few hundred
-    rows across every core is a wasted exchange, and the guard cannot
-    tell small from under-split without an action."""
-    if parallel_hint:
-        docs = _with_min_parallelism(docs)
-    toks = _tokens(text_col)
-    if ngram == 1:
-        sh = toks
-    else:
-        # zip token array against its own shifted slices
-        sh = F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - (ngram - 1), F.lit(0))),
-            lambda _t, i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]
-            ),
-        )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    Derived by exploding the per-document distinct set from
+    :func:`doc_shingle_arrays`: dedup happens inside the row, so the
+    corpus-wide ``distinct()`` exchange the r1-r6 implementation paid is
+    gone — the plan is scan → project → generate with no shuffle.
+    Pass ``parallel_hint=False`` for inputs KNOWN to be small (an
+    eval/benchmark set): fanning a few hundred rows across every core
+    is a wasted exchange, and the guard cannot tell small from
+    under-split without an action."""
+    arrs = doc_shingle_arrays(docs, text_col, id_col, ngram, parallel_hint)
+    return arrs.select("id", F.explode("shingles").alias("shingle"))
 
 
 
@@ -214,27 +255,57 @@ def minhash_signatures(
     ngram: int = 1,
     _shingles: DataFrame | None = None,
     include_size: bool = False,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) MinHash signature per document.
 
     Hash family: md5(shingle ‖ '#i') — engine-portable and seedless, so
-    the DuckDB oracle reproduces it bit-for-bit.  One explode + one
-    groupBy; partial min aggregation keeps the shuffle narrow.
+    the DuckDB oracle reproduces it bit-for-bit.  Default path is a
+    row-wise projection over :func:`doc_shingle_arrays` (or a caller's
+    ``_arrs`` frame): zero exchanges.  ``_shingles`` (exploded
+    (id, shingle) rows — the streaming survivor index's on-disk format)
+    keeps the aggregated path.
 
-    ``include_size`` adds an ``n_shingles`` count column to the SAME
-    aggregation: the verify stage needs per-doc shingle counts for the
-    Jaccard denominator, and computing them here instead of in a second
-    ``groupBy("id")`` over the shingle frame saves one full corpus-wide
-    exchange in every LSH plan.
+    ``include_size`` adds an ``n_shingles`` count column: the verify
+    stage needs per-doc shingle counts for the Jaccard denominator, and
+    computing them in the same pass instead of a second ``groupBy("id")``
+    over a shingle frame saves a full corpus-wide exchange.
     """
-    sh = _shingles if _shingles is not None else doc_shingles(docs, text_col, id_col, ngram)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
+    if _shingles is not None:
+        # exploded (id, shingle) input — the durable-index format the
+        # streaming near-dedup persists; aggregate it as before (min is
+        # duplicate-insensitive, so distinctness is not required)
+        aggs = [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+        if include_size:
+            aggs.append(F.count(F.lit(1)).alias("n_shingles"))
+        return _shingles.groupBy("id").agg(*aggs)
+    # row-wise path: per-document min over the shingle-set's hash family
+    # — a plain projection, no groupBy exchange (guide §2.4).  min over
+    # the distinct set equals min over the multiset, and n_shingles is
+    # the set size, so both paths agree bit-for-bit (n_shingles cast to
+    # long to keep the aggregated schema, which the streaming index
+    # persists on disk).
+    arrs = (
+        _arrs
+        if _arrs is not None
+        else doc_shingle_arrays(docs, text_col, id_col, ngram)
+    )
+    sh = F.col("shingles")
+
+    def _minhash(i: int):
+        # closure helper, NOT a default-arg lambda: pyspark counts the
+        # lambda's parameters to decide unary vs (element, index) form
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
+        ).alias(f"sig_{i}")
+
+    cols = [_minhash(i) for i in range(num_hashes)]
     if include_size:
-        aggs.append(F.count(F.lit(1)).alias("n_shingles"))
-    return sh.groupBy("id").agg(*aggs)
+        cols.append(F.size(sh).cast("long").alias("n_shingles"))
+    return arrs.filter(F.size(sh) > 0).select("id", *cols)
 
 
 def _band_keyed(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
@@ -266,6 +337,7 @@ def lsh_candidate_pairs(
     _shingles: DataFrame | None = None,
     max_bucket_size: int | None = None,
     _signatures: DataFrame | None = None,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any band key.
 
@@ -288,7 +360,9 @@ def lsh_candidate_pairs(
     sig = (
         _signatures
         if _signatures is not None
-        else minhash_signatures(docs, num_hashes, text_col, id_col, ngram, _shingles)
+        else minhash_signatures(
+            docs, num_hashes, text_col, id_col, ngram, _shingles, _arrs=_arrs
+        )
     )
     keyed = _band_keyed(sig, num_hashes, band_size)
     keyed = cachepool.track(keyed)  # both sides of the candidate self-join read this
@@ -316,8 +390,9 @@ def lsh_verified_pairs(
     id_col: str = "doc_id",
     ngram: int = 1,
     max_bucket_size: int | None = None,
-    _shingles: DataFrame | None = None,
+    _arrs: DataFrame | None = None,
     _signatures: DataFrame | None = None,
+    assume_small_pairs: bool = True,
 ) -> DataFrame:
     """The production near-dup plan: LSH candidates → exact Jaccard
     re-check on candidates only.
@@ -326,44 +401,83 @@ def lsh_verified_pairs(
     hot shingles; here the quadratic step is bounded by collisions in
     2^(128/band) band-key space.  Recall is that of MinHash-LSH
     (tunable via num_hashes/band_size); precision is exact.
-    ``_shingles`` = caller-provided (tracked) shingle frame, so a
-    composed pipeline explodes the corpus once per run; ``_signatures``
+
+    Plan shape (r7): shingle SETS stay inside their rows
+    (:func:`doc_shingle_arrays`); signatures are a projection; the only
+    corpus-wide exchange is the band-key equi-join of the narrow
+    (id, band_idx, band_key) frame, and the exact verify joins the
+    (small) candidate pair list back to the per-document arrays and
+    counts ``array_intersect`` — the exploded shingle relation, its
+    distinct exchange, the signature groupBy and the two verify-side
+    shingle shuffles of r1-r6 are all gone (guide §2.4, §8: shuffle the
+    lightweight proxy, keep payloads where they were read).
+    ``_arrs`` = caller-provided (tracked) shingle-array frame, so a
+    composed pipeline tokenizes the corpus once per run; ``_signatures``
     = caller-provided (tracked) ``minhash_signatures(...,
-    include_size=True)`` frame over those shingles, so the pipeline
-    pays the signature groupBy once too.
+    include_size=True)`` frame over those arrays.
     """
-    sh = (
-        _shingles
-        if _shingles is not None
-        else cachepool.track(doc_shingles(docs, text_col, id_col, ngram))
+    arrs = (
+        _arrs
+        if _arrs is not None
+        else cachepool.track(doc_shingle_arrays(docs, text_col, id_col, ngram))
     )
-    # ONE corpus-wide groupBy produces signatures AND per-doc shingle
-    # counts (the Jaccard denominators) — the separate sizes
-    # aggregation was a second full exchange over the shingle frame
     sig = (
         _signatures
         if _signatures is not None
-        else cachepool.track(
-            minhash_signatures(
-                docs, num_hashes, text_col, id_col, ngram, _shingles=sh,
-                include_size=True,
-            )
+        else minhash_signatures(
+            docs, num_hashes, text_col, id_col, ngram, _arrs=arrs,
+            include_size=True,
         )
     )
     cand = lsh_candidate_pairs(
-        docs, num_hashes, band_size, text_col, id_col, ngram, _shingles=sh,
+        docs, num_hashes, band_size, text_col, id_col, ngram,
         max_bucket_size=max_bucket_size, _signatures=sig,
     )
-    a = sh.select(F.col("id").alias("a_id"), "shingle")
-    b = sh.select(F.col("id").alias("b_id"), "shingle")
-    inter = (
-        cand.join(a, "a_id")
-        .join(b, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # the candidate list is collision-bounded (the premise of LSH) and
+    # the same order of magnitude as the pair/cluster frames the
+    # composed pipelines already treat as broadcast-small; hinting it
+    # keeps the verify joins map-side, so the shingle arrays are never
+    # shuffled.  ``assume_small_pairs=False`` drops the hint (a forced
+    # broadcast overrides Spark's size checks) and lets AQE decide.
+    if assume_small_pairs:
+        cand = F.broadcast(cand)
+    return _jaccard_from_arrays(cand, arrs, threshold)
+
+
+def _jaccard_from_arrays(
+    cand: DataFrame,
+    arrs_a: DataFrame,
+    threshold: float,
+    arrs_b=None,
+) -> DataFrame:
+    """(a_id, b_id, jaccard) for candidate pairs, by joining the (small)
+    pair list to per-document shingle arrays and intersecting in-row:
+    |A∩B| via ``array_intersect`` over the distinct sets — bit-identical
+    to the exploded-join count, with zero corpus-side shuffle (the
+    candidate list is the build side of both joins).  ``arrs_b`` =
+    b-side array frame when a_id and b_id come from different tables
+    (may carry a broadcast hint)."""
+    a = arrs_a.select(
+        F.col("id").alias("a_id"),
+        F.col("shingles").alias("_a_sh"),
+        F.size("shingles").alias("_a_n"),
     )
-    sizes = sig.select("id", "n_shingles")
-    return _jaccard_from_intersections(inter, sh, threshold, sizes=sizes)
+    b = (arrs_a if arrs_b is None else arrs_b).select(
+        F.col("id").alias("b_id"),
+        F.col("shingles").alias("_b_sh"),
+        F.size("shingles").alias("_b_n"),
+    )
+    n_common = F.size(F.array_intersect("_a_sh", "_b_sh"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(n_common / (F.col("_a_n") + F.col("_b_n") - n_common), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -570,28 +684,26 @@ def simhash64(
     """
     docs = _with_min_parallelism(docs)
     toks = _tokens(text_col)
+    # Per bit b the r1-r6 vote was Σ±1 = 2·(tokens with bit b set) − T,
+    # and the output bit is vote > 0 ⇔ 2·count_b > T — so count set
+    # bits directly.  This drops the two per-token 64-element array
+    # allocations (zip_with acc + the ±1 transform) the old fold paid;
+    # same arithmetic, bit-identical signatures (golden-pinned).
+    simhash = F.expr(
+        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->"
+        " acc + IF(2 * aggregate(_hashes, CAST(0 AS BIGINT),"
+        "            (c, h) -> c + (shiftright(h, b) & 1)) > _n,"
+        "          shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+    )
     return (
         docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
         .withColumn("_hashes", F.expr("transform(_toks, t -> xxhash64(t))"))
-        .withColumn(
-            "_votes",
-            F.expr(
-                "aggregate(_hashes, array_repeat(CAST(0 AS BIGINT), 64),"
-                " (acc, h) -> zip_with(acc,"
-                "   transform(sequence(0, 63),"
-                "     b -> IF((shiftright(h, b) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),"
-                "   (a, v) -> a + v))"
-            ),
-        )
-        .select(
-            "id",
-            F.expr(
-                "aggregate(zip_with(_votes, sequence(0, 63),"
-                "   (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-            ).alias("simhash"),
-        )
+        # size of _toks, not _hashes: keeps _hashes single-referenced so
+        # the optimizer collapses the projection chain without ever
+        # duplicating the token-hash transform
+        .withColumn("_n", F.size("_toks").cast("bigint"))
+        .select("id", simhash.alias("simhash"))
     )
 
 
@@ -675,6 +787,7 @@ def decontaminate(
     _corpus_signatures: DataFrame | None = None,
     evalset_is_small: bool = True,
     contaminated_is_small: bool = True,
+    _corpus_arrs: DataFrame | None = None,
 ):
     """Benchmark decontamination: find (and enable dropping of) corpus
     documents that near-duplicate an eval/benchmark document — the
@@ -705,57 +818,107 @@ def decontaminate(
     corpus-sized held-out set so the guard and join planner run
     normally.
     """
-    sh_c = (
-        _corpus_shingles
-        if _corpus_shingles is not None
-        else cachepool.track(doc_shingles(corpus, text_col, id_col, ngram))
-    )
-    # eval side is usually benchmark-small: skip the amplification
-    # fan-out (a wasted exchange on a few hundred rows) unless told
-    # otherwise
-    sh_e = cachepool.track(
-        doc_shingles(
-            evalset, text_col, id_col, ngram, parallel_hint=not evalset_is_small
+    if _corpus_shingles is not None:
+        # exploded-corpus path: the streaming survivor index persists
+        # (id, shingle) rows on disk and injects them here — keep the
+        # aggregated/join verify for that format
+        sh_c = _corpus_shingles
+        sh_e = cachepool.track(
+            doc_shingles(
+                evalset, text_col, id_col, ngram,
+                parallel_hint=not evalset_is_small,
+            )
         )
-    )
-    # one corpus-wide groupBy for signatures + sizes (see
-    # lsh_verified_pairs — the separate sizes aggregation was a second
-    # full corpus exchange)
-    sig_c = (
-        _corpus_signatures
-        if _corpus_signatures is not None
-        else cachepool.track(
-            minhash_signatures(None, num_hashes, _shingles=sh_c, include_size=True)
+        sig_c = (
+            _corpus_signatures
+            if _corpus_signatures is not None
+            else cachepool.track(
+                minhash_signatures(
+                    None, num_hashes, _shingles=sh_c, include_size=True
+                )
+            )
         )
-    )
-    sig_e = minhash_signatures(None, num_hashes, _shingles=sh_e, include_size=True)
-    cand = cross_lsh_candidates(
-        corpus, evalset, num_hashes, band_size, ngram, text_col, id_col,
-        _corpus_shingles=sh_c, _eval_shingles=sh_e,
-        max_bucket_size=max_bucket_size,
-        _corpus_signatures=sig_c, _eval_signatures=sig_e,
-    )
-    a = sh_c.select(F.col("id").alias("a_id"), "shingle")
-    b = sh_e.select(F.col("id").alias("b_id"), "shingle")
-    inter = (
-        cand.join(a, "a_id")
-        .join(F.broadcast(b), ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    report = cachepool.track(
-        _jaccard_from_intersections(
-            inter, sh_c, threshold, sh_b=sh_e,
-            sizes=sig_c.select("id", "n_shingles"),
-            # eval-side sizes are benchmark-small: broadcast, so the
-            # report's denominator join never shuffles the inter frame
-            sizes_b=F.broadcast(sig_e.select("id", "n_shingles")),
-        ).select(
-            F.col("a_id").alias("corpus_id"),
-            F.col("b_id").alias("eval_id"),
-            "jaccard",
+        sig_e = minhash_signatures(
+            None, num_hashes, _shingles=sh_e, include_size=True
         )
-    )  # consuming report AND cleaned must not re-run the LSH+verify chain
+        cand = cross_lsh_candidates(
+            corpus, evalset, num_hashes, band_size, ngram, text_col, id_col,
+            _corpus_shingles=sh_c, _eval_shingles=sh_e,
+            max_bucket_size=max_bucket_size,
+            _corpus_signatures=sig_c, _eval_signatures=sig_e,
+        )
+        a = sh_c.select(F.col("id").alias("a_id"), "shingle")
+        b = sh_e.select(F.col("id").alias("b_id"), "shingle")
+        inter = (
+            cand.join(a, "a_id")
+            .join(F.broadcast(b), ["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        report = cachepool.track(
+            _jaccard_from_intersections(
+                inter, sh_c, threshold, sh_b=sh_e,
+                sizes=sig_c.select("id", "n_shingles"),
+                # eval-side sizes are benchmark-small: broadcast, so the
+                # report's denominator join never shuffles the inter frame
+                sizes_b=F.broadcast(sig_e.select("id", "n_shingles")),
+            ).select(
+                F.col("a_id").alias("corpus_id"),
+                F.col("b_id").alias("eval_id"),
+                "jaccard",
+            )
+        )  # consuming report AND cleaned must not re-run the LSH+verify chain
+    else:
+        # arrays path (r7 default): shingle sets stay row-wise, the
+        # exact verify intersects per candidate pair — no exploded
+        # relation, no distinct exchange, no signature groupBy (see
+        # lsh_verified_pairs)
+        arrs_c = (
+            _corpus_arrs
+            if _corpus_arrs is not None
+            else cachepool.track(
+                doc_shingle_arrays(corpus, text_col, id_col, ngram)
+            )
+        )
+        # eval side is usually benchmark-small: skip the amplification
+        # fan-out (a wasted exchange on a few hundred rows) unless told
+        # otherwise
+        arrs_e = cachepool.track(
+            doc_shingle_arrays(
+                evalset, text_col, id_col, ngram,
+                parallel_hint=not evalset_is_small,
+            )
+        )
+        sig_c = (
+            _corpus_signatures
+            if _corpus_signatures is not None
+            else minhash_signatures(
+                None, num_hashes, _arrs=arrs_c, include_size=True
+            )
+        )
+        sig_e = minhash_signatures(
+            None, num_hashes, _arrs=arrs_e, include_size=True
+        )
+        cand = cross_lsh_candidates(
+            corpus, evalset, num_hashes, band_size, ngram, text_col, id_col,
+            max_bucket_size=max_bucket_size,
+            _corpus_signatures=sig_c, _eval_signatures=sig_e,
+        )
+        # candidates are bounded by cross-table band collisions — the
+        # same frame the contaminated-id set derives from, so the same
+        # smallness knob gates its broadcast into the verify joins
+        if contaminated_is_small:
+            cand = F.broadcast(cand)
+        report = cachepool.track(
+            _jaccard_from_arrays(
+                cand, arrs_c, threshold,
+                arrs_b=F.broadcast(arrs_e) if evalset_is_small else arrs_e,
+            ).select(
+                F.col("a_id").alias("corpus_id"),
+                F.col("b_id").alias("eval_id"),
+                "jaccard",
+            )
+        )  # consuming report AND cleaned must not re-run the LSH+verify chain
     contaminated = report.select(F.col("corpus_id").alias(id_col)).distinct()
     # contaminated ids are usually bounded by the (small) eval set's
     # match fan-out — broadcast, so cleaning the corpus is a map-side

@@ -79,6 +79,7 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     num_planes: int = 0,
     hash_fn: str = "xxhash64",
+    assume_small: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
@@ -87,19 +88,29 @@ def cosine_dup_pairs(
     at some recall cost); 0 = exact all-pairs, used as the oracle-
     checkable baseline at test scale.  ``hash_fn='md5'`` makes the
     bucketed path itself oracle-checkable (``dedup_embedding_lsh``).
+
+    ``assume_small``: broadcast-hint the b-side when the input is KNOWN
+    to be bounded (a test-scale baseline, a re-rank within buckets).
+    Without the hint Spark's post-filter size ESTIMATES decide, and on a
+    larger table they tip the exact path's non-equi join from a
+    broadcast nested loop into a CartesianProduct whose task count is
+    |a-parts|×|b-parts| — measured 4,097 tasks / tens of seconds of pure
+    scheduling for 205 vectors at sf1.0.  Leave False for unbounded
+    inputs (a forced broadcast overrides the size checks).
     """
     v = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+    _maybe_small = F.broadcast if assume_small else (lambda df: df)
     if num_planes:
         b = hyperplane_buckets(embeddings, num_planes, id_col, vec_col, hash_fn)
         a_side = v.join(b, "id").select(F.col("id").alias("a_id"), F.col("v").alias("av"), "bucket")
         b_side = v.join(b, "id").select(F.col("id").alias("b_id"), F.col("v").alias("bv"), "bucket")
-        pairs = a_side.join(b_side, ["bucket"]).filter(F.col("a_id") < F.col("b_id"))
+        pairs = a_side.join(_maybe_small(b_side), ["bucket"]).filter(F.col("a_id") < F.col("b_id"))
     else:
         a_side = v.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
         b_side = v.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
-        pairs = a_side.join(b_side, F.col("a_id") < F.col("b_id"))
+        pairs = a_side.join(_maybe_small(b_side), F.col("a_id") < F.col("b_id"))
     scored = pairs.withColumn(
         "cosine",
         F.round(

@@ -266,29 +266,37 @@ def curate_corpus(
     # 3. near-dup clustering — keep one representative per cluster.
     # THE shingle frame: built once here, reused by the pair generator
     # (signatures / candidates / verify) AND — survivor-filtered — by
-    # the decontamination stage.  One corpus explode per funnel run.
-    sh3 = cachepool.track(
-        D.doc_shingles(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
-    )
+    # the decontamination stage.  One corpus tokenization per funnel
+    # run.  The LSH path keeps shingle SETS row-wise (doc_shingle_arrays
+    # — no explode, no distinct exchange, no signature groupBy); the
+    # exact-jaccard path still needs the exploded inverted index.
+    sh3 = None
+    arrs3 = None
     sig3 = None
     if near_dup_method == "lsh":
-        # ONE signature groupBy for the whole funnel: the near-dup
-        # stage and (survivor-filtered) the decontamination stage both
-        # read this frame — per-doc signatures are unaffected by
-        # dropping other documents, so the filtered reuse is exact
+        arrs3 = cachepool.track(
+            D.doc_shingle_arrays(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
+        )
+        # ONE signature pass for the whole funnel: the near-dup stage
+        # and (survivor-filtered) the decontamination stage both read
+        # this frame — per-doc signatures are unaffected by dropping
+        # other documents, so the filtered reuse is exact
         sig3 = cachepool.track(
             D.minhash_signatures(
                 cur3, num_hashes, text_col, id_col, ngram,
-                _shingles=sh3, include_size=True,
+                _arrs=arrs3, include_size=True,
             )
         )
         raw_pairs = D.lsh_verified_pairs(
             cur3, threshold=dedup_threshold, num_hashes=num_hashes,
             band_size=band_size, text_col=text_col, id_col=id_col,
-            ngram=ngram, max_bucket_size=max_bucket_size, _shingles=sh3,
-            _signatures=sig3,
+            ngram=ngram, max_bucket_size=max_bucket_size, _arrs=arrs3,
+            _signatures=sig3, assume_small_pairs=assume_small_side_frames,
         )
     else:
+        sh3 = cachepool.track(
+            D.doc_shingles(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
+        )
         raw_pairs = D.jaccard_pairs(
             cur3, threshold=dedup_threshold, text_col=text_col, id_col=id_col,
             ngram=ngram, max_df=max_df if max_df is not None else 1000,
@@ -344,13 +352,18 @@ def curate_corpus(
     # sampled count as the decontaminate stage's 'out'
     if evalset is not None:
         dropped = _maybe_bcast(non_canonical.withColumnRenamed(id_col, "id"))
-        sh4 = sh3.join(dropped, "id", "left_anti")
         sig4 = sig3.join(dropped, "id", "left_anti") if sig3 is not None else None
         report, cur5 = D.decontaminate(
             cur4, evalset, threshold=dedup_threshold,
             num_hashes=num_hashes, band_size=band_size,
             ngram=ngram, text_col=text_col, id_col=id_col,
-            max_bucket_size=max_bucket_size, _corpus_shingles=sh4,
+            max_bucket_size=max_bucket_size,
+            _corpus_shingles=(
+                sh3.join(dropped, "id", "left_anti") if sh3 is not None else None
+            ),
+            _corpus_arrs=(
+                arrs3.join(dropped, "id", "left_anti") if arrs3 is not None else None
+            ),
             _corpus_signatures=sig4,
             contaminated_is_small=assume_small_side_frames,
         )

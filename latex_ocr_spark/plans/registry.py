@@ -1219,10 +1219,17 @@ def dedup_embedding(spark, sf):
         "vec_id", F.col("vec_id") + 100000
     )
     base = emb.unionByName(planted)
-    exact = S.cosine_dup_pairs(base, threshold=0.5).select(
+    # assume_small: base is ≤205 vectors BY CONSTRUCTION at every sf
+    # (vec_id < 200 plus 5 planted), so the b-side broadcast hint is
+    # always safe — without it, sf1.0's post-filter size estimates tip
+    # the non-equi join into a 4,097-task CartesianProduct (pure
+    # scheduling overhead, measured ~20 s for 205 rows)
+    exact = S.cosine_dup_pairs(base, threshold=0.5, assume_small=True).select(
         F.lit("exact").alias("method"), "a_id", "b_id", "cosine"
     )
-    lsh = S.cosine_dup_pairs(base, threshold=0.5, num_planes=4, hash_fn="md5").select(
+    lsh = S.cosine_dup_pairs(
+        base, threshold=0.5, num_planes=4, hash_fn="md5", assume_small=True
+    ).select(
         F.lit("lsh").alias("method"), "a_id", "b_id", "cosine"
     )
     return exact.unionByName(lsh)

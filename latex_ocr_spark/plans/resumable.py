@@ -307,28 +307,36 @@ def _curate_resumable_impl(
 
     # ---- stage 2: verified near-dup pairs -------------------------
     pairs_path = f"{ckpt}/pairs"
-    sh3 = sig3 = None  # in-memory reuse when computed THIS invocation
+    sh3 = arrs3 = sig3 = None  # in-memory reuse when computed THIS invocation
     if "pairs" in done:
         pairs = spark.read.parquet(pairs_path)
     else:
         started = int(time.time())
-        sh3 = cachepool.track(
-            D.doc_shingles(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
-        )
         if near_dup_method == "lsh":
+            # row-wise shingle sets + signature projection — no explode,
+            # no distinct exchange, no groupBy (see operators/dedup.py)
+            arrs3 = cachepool.track(
+                D.doc_shingle_arrays(
+                    cur3, text_col=text_col, id_col=id_col, ngram=ngram
+                )
+            )
             sig3 = cachepool.track(
                 D.minhash_signatures(
                     cur3, num_hashes, text_col, id_col, ngram,
-                    _shingles=sh3, include_size=True,
+                    _arrs=arrs3, include_size=True,
                 )
             )
             raw_pairs = D.lsh_verified_pairs(
                 cur3, threshold=dedup_threshold, num_hashes=num_hashes,
                 band_size=band_size, text_col=text_col, id_col=id_col,
                 ngram=ngram, max_bucket_size=max_bucket_size,
-                _shingles=sh3, _signatures=sig3,
+                _arrs=arrs3, _signatures=sig3,
+                assume_small_pairs=assume_small_side_frames,
             )
         else:
+            sh3 = cachepool.track(
+                D.doc_shingles(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
+            )
             raw_pairs = D.jaccard_pairs(
                 cur3, threshold=dedup_threshold, text_col=text_col,
                 id_col=id_col, ngram=ngram,
@@ -412,12 +420,16 @@ def _curate_resumable_impl(
             report = spark.read.parquet(report_path)
         else:
             started = int(time.time())
-            sh4 = sig4 = None
-            if sh3 is not None:  # pairs ran this invocation: reuse the
-                # one corpus explode, survivor-filtered (exact same
-                # filter plans/curate.py applies)
+            sh4 = arrs4 = sig4 = None
+            if sh3 is not None or arrs3 is not None:
+                # pairs ran this invocation: reuse the one corpus
+                # shingling, survivor-filtered (exact same filter
+                # plans/curate.py applies)
                 dropped = _maybe_bcast(non_canonical.withColumnRenamed(id_col, "id"))
-                sh4 = sh3.join(dropped, "id", "left_anti")
+                if sh3 is not None:
+                    sh4 = sh3.join(dropped, "id", "left_anti")
+                if arrs3 is not None:
+                    arrs4 = arrs3.join(dropped, "id", "left_anti")
                 if sig3 is not None:
                     sig4 = sig3.join(dropped, "id", "left_anti")
             fresh_report, _cleaned = D.decontaminate(
@@ -425,7 +437,8 @@ def _curate_resumable_impl(
                 num_hashes=num_hashes, band_size=band_size, ngram=ngram,
                 text_col=text_col, id_col=id_col,
                 max_bucket_size=max_bucket_size,
-                _corpus_shingles=sh4, _corpus_signatures=sig4,
+                _corpus_shingles=sh4, _corpus_arrs=arrs4,
+                _corpus_signatures=sig4,
                 contaminated_is_small=assume_small_side_frames,
             )
             fresh_report.write.mode("overwrite").parquet(report_path)

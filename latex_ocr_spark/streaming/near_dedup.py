@@ -283,19 +283,24 @@ def _start_near_dedup_stream_fenced(
         with cachepool.scoped():
             batch = cachepool.track(batch_df.select("doc_id", "text"))
 
-            # 1. in-batch near-dedup (cluster canonical survives)
-            sh_b = cachepool.track(D.doc_shingles(batch, ngram=ngram))
+            # 1. in-batch near-dedup (cluster canonical survives).  The
+            # shingle-array frame feeds the pair verify, the signature
+            # projection AND (exploded) the index write, so the batch is
+            # tokenized once; the index keeps its exploded (id, shingle)
+            # on-disk format unchanged.
+            arrs_b = cachepool.track(D.doc_shingle_arrays(batch, ngram=ngram))
+            sh_b = arrs_b.select("id", F.explode("shingles").alias("shingle"))
             sig_b = cachepool.track(
                 D.minhash_signatures(
                     batch, num_hashes, ngram=ngram,
-                    _shingles=sh_b, include_size=True,
+                    _arrs=arrs_b, include_size=True,
                 )
             )
             pairs = D.lsh_verified_pairs(
                 batch, threshold=threshold, num_hashes=num_hashes,
                 band_size=band_size, ngram=ngram,
                 max_bucket_size=max_bucket_size,
-                _shingles=sh_b, _signatures=sig_b,
+                _arrs=arrs_b, _signatures=sig_b,
             )
             non_canonical = (
                 D.duplicate_clusters(pairs)

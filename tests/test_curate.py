@@ -330,7 +330,13 @@ def test_funnel_forwards_recall_knobs_to_decontamination(spark, monkeypatch):
     )
     assert seen["num_hashes"] == 16 and seen["band_size"] == 4
     assert seen["max_bucket_size"] == 50
-    assert seen["_corpus_shingles"] is not None  # the reused frame
+    # the reused frames: the LSH funnel hands its (survivor-filtered)
+    # shingle-ARRAY frame + signature frame to decontamination — r7's
+    # row-wise plan; the exploded-shingle hand-off exists only on the
+    # exact-jaccard path
+    assert seen["_corpus_arrs"] is not None
+    assert seen["_corpus_signatures"] is not None
+    assert seen["_corpus_shingles"] is None
     cachepool.release()
 
 
