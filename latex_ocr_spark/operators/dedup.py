@@ -517,27 +517,38 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     changed = 0
     for _ in range(max_iter):
+        from pyspark.sql import Observation
+
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the changed-label count rides the SAME action that
+        # materializes the round (localCheckpoint is eager): one job
+        # per round instead of the old checkpoint-then-recount two —
+        # at small pair counts the loop is pure per-job overhead, so
+        # this halves its wall (guide §1.2 per-task work)
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("id", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break

@@ -1218,7 +1218,14 @@ def dedup_embedding(spark, sf):
     planted = emb.filter(F.col("vec_id") < 5).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
-    base = emb.unionByName(planted)
+    # fan the 205 rows across the session's cores: the all-pairs branch
+    # does ~21k interpreted 64-dim dot products, and with the broadcast
+    # join the task count equals the (1-2 split) scan's — one core did
+    # all the scoring.  One tiny round-robin exchange buys 32-way
+    # compute for both branches (row-set unchanged).
+    base = emb.unionByName(planted).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # assume_small: base is ≤205 vectors BY CONSTRUCTION at every sf
     # (vec_id < 200 plus 5 planted), so the b-side broadcast hint is
     # always safe — without it, sf1.0's post-filter size estimates tip

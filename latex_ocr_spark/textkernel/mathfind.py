@@ -112,7 +112,11 @@ def scrub_match(candidate: str, min_chars: int = MIN_MATCH_CHARS) -> Optional[st
     candidate = (
         candidate.replace("\n", "").replace(r"\notag", "").replace(r"\nonumber", "")
     )
-    candidate = RE_EDGE_SPACING.sub("", candidate)
+    # every edge-spacing alternative contains '\' or '~' — a substring
+    # miss exactly implies a regex miss, and plain candidates (a_1+b)
+    # skip the engine entirely
+    if "\\" in candidate or "~" in candidate:
+        candidate = RE_EDGE_SPACING.sub("", candidate)
     if len(candidate) < min_chars:
         return None
     # last-char guard: drop dangling-backslash fragments.  The second

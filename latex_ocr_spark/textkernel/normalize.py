@@ -52,8 +52,9 @@ def post_process(s: str) -> str:
     """
     if not _RE_ANY_WS.search(s):
         return s
-    collapsed = [m[0].replace(" ", "") for m in _RE_TEXT_GROUP.findall(s)]
-    s = _RE_TEXT_GROUP.sub(lambda _m: str(collapsed.pop(0)), s)
+    if "\\" in s:  # the group pattern needs a literal backslash macro
+        collapsed = [m[0].replace(" ", "") for m in _RE_TEXT_GROUP.findall(s)]
+        s = _RE_TEXT_GROUP.sub(lambda _m: str(collapsed.pop(0)), s)
     while True:
         squeezed = _RE_NN.sub(r"\1\2", s)
         squeezed = _RE_NL.sub(r"\1\2", squeezed)
