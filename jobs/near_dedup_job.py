@@ -63,6 +63,17 @@ def main() -> int:
     ap.add_argument("--continuous", action="store_true",
                     help="keep the query running instead of "
                     "process-available-and-exit")
+    ap.add_argument("--max-files-per-trigger", type=int, default=64,
+                    help="micro-batch bound: files per trigger (0 = "
+                    "unbounded; availableNow catch-up over a backlog "
+                    "then runs as ONE giant batch — see "
+                    "start_near_dedup_stream)")
+    ap.add_argument("--max-bytes-per-trigger",
+                    help="micro-batch bound by bytes, e.g. '1g' "
+                    "(soft cap; combines with --max-files-per-trigger)")
+    ap.add_argument("--broadcast-threshold-rows", type=int, default=500_000,
+                    help="batch-side broadcast hints are dropped (AQE "
+                    "decides) when a micro-batch exceeds this many docs")
     ap.add_argument("--synth", type=int,
                     help="write N synthetic documents into --input first")
     ap.add_argument("--cores", type=int,
@@ -103,6 +114,9 @@ def main() -> int:
         band_size=args.band_size, ngram=args.ngram,
         max_bucket_size=args.max_bucket_size,
         available_now=not args.continuous,
+        max_files_per_trigger=args.max_files_per_trigger or None,
+        max_bytes_per_trigger=args.max_bytes_per_trigger,
+        broadcast_threshold_rows=args.broadcast_threshold_rows,
     )
     q.awaitTermination()
 

@@ -731,6 +731,7 @@ def cross_lsh_candidates(
     max_bucket_size: int | None = None,
     _corpus_signatures: DataFrame | None = None,
     _eval_signatures: DataFrame | None = None,
+    eval_is_small: bool = True,
 ) -> DataFrame:
     """(corpus_id, eval_id) candidate pairs ACROSS two corpora: corpus
     documents sharing any LSH band key with an eval document.
@@ -771,11 +772,15 @@ def cross_lsh_candidates(
     if max_bucket_size is not None:
         keyed_c = _drop_hot_keys(keyed_c, ["band_idx", "band_key"], max_bucket_size)
     c, e = keyed_c.alias("c"), keyed_e.alias("e")
-    # eval side is the small side by construction: broadcast it so the
-    # corpus-side keyed frame joins map-side with zero shuffle
+    # eval side is usually the small side: broadcast it so the
+    # corpus-side keyed frame joins map-side with zero shuffle; an
+    # oversized eval side (``eval_is_small=False``) drops the hint and
+    # lets the planner/AQE decide
+    if eval_is_small:
+        e = F.broadcast(e)
     return (
         c.join(
-            F.broadcast(e),
+            e,
             (F.col("c.band_idx") == F.col("e.band_idx"))
             & (F.col("c.band_key") == F.col("e.band_key")),
         )
@@ -857,12 +862,14 @@ def decontaminate(
             _corpus_shingles=sh_c, _eval_shingles=sh_e,
             max_bucket_size=max_bucket_size,
             _corpus_signatures=sig_c, _eval_signatures=sig_e,
+            eval_is_small=evalset_is_small,
         )
+        _eb = F.broadcast if evalset_is_small else (lambda df: df)
         a = sh_c.select(F.col("id").alias("a_id"), "shingle")
         b = sh_e.select(F.col("id").alias("b_id"), "shingle")
         inter = (
             cand.join(a, "a_id")
-            .join(F.broadcast(b), ["b_id", "shingle"])
+            .join(_eb(b), ["b_id", "shingle"])
             .groupBy("a_id", "b_id")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
@@ -872,7 +879,7 @@ def decontaminate(
                 sizes=sig_c.select("id", "n_shingles"),
                 # eval-side sizes are benchmark-small: broadcast, so the
                 # report's denominator join never shuffles the inter frame
-                sizes_b=F.broadcast(sig_e.select("id", "n_shingles")),
+                sizes_b=_eb(sig_e.select("id", "n_shingles")),
             ).select(
                 F.col("a_id").alias("corpus_id"),
                 F.col("b_id").alias("eval_id"),
@@ -914,6 +921,7 @@ def decontaminate(
             corpus, evalset, num_hashes, band_size, ngram, text_col, id_col,
             max_bucket_size=max_bucket_size,
             _corpus_signatures=sig_c, _eval_signatures=sig_e,
+            eval_is_small=evalset_is_small,
         )
         # candidates are bounded by cross-table band collisions — the
         # same frame the contaminated-id set derives from, so the same

@@ -138,9 +138,31 @@ def start_near_dedup_stream(
     max_bucket_size: Optional[int] = None,
     available_now: bool = True,
     _fail_batches: Optional[set] = None,
+    max_files_per_trigger: Optional[int] = 64,
+    max_bytes_per_trigger: Optional[str] = None,
+    broadcast_threshold_rows: int = 500_000,
 ):
     """Continuously keep only documents that near-duplicate neither a
     previously accepted document nor an earlier doc of their own batch.
+
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound each
+    micro-batch (mirroring streaming/stream.py's reader knob).  Without
+    a bound, an ``availableNow`` catch-up over a large backlog — the
+    documented cron shape, or simply the first run over an existing
+    corpus — puts EVERY pending file into ONE micro-batch, which is
+    then shingle-amplified and broadcast as the history check's eval
+    side: at corpus scale that one batch is an OOM.  The default (64
+    files/trigger) keeps catch-up incremental; pass ``None`` for both
+    to restore the unbounded reader.  ``availableNow`` still drains the
+    whole backlog — as a sequence of bounded batches.
+
+    ``broadcast_threshold_rows``: the batch-side frames (in-batch
+    non-canonicals, duplicate-of-history ids, survivor ids, and the
+    batch as decontaminate's eval side) are broadcast-hinted only while
+    the batch holds at most this many documents; an oversized batch
+    (misconfigured trigger bound, one giant input file) drops the hints
+    and lets AQE decide — a forced broadcast overrides Spark's size
+    checks and OOMs the executors.
 
     ``_fail_batches`` injects a crash after the named batches' writes,
     before the checkpoint commit — the replay window the idempotent
@@ -165,6 +187,8 @@ def start_near_dedup_stream(
             spark, input_dir, output_dir, index_dir, checkpoint_dir,
             threshold, num_hashes, band_size, ngram, max_bucket_size,
             available_now, _fail_batches, stream_lease,
+            max_files_per_trigger, max_bytes_per_trigger,
+            broadcast_threshold_rows,
         )
     except BaseException:
         if stream_lease is not None:
@@ -186,6 +210,9 @@ def _start_near_dedup_stream_fenced(
     available_now: bool,
     _fail_batches: Optional[set],
     stream_lease,
+    max_files_per_trigger: Optional[int] = 64,
+    max_bytes_per_trigger: Optional[str] = None,
+    broadcast_threshold_rows: int = 500_000,
 ):
     import json
 
@@ -275,13 +302,25 @@ def _start_near_dedup_stream_fenced(
 
     assert_idempotent_layout(spark, output_dir)
 
-    stream = (
-        spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet").load(input_dir)
-    )
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet")
+    # bound the micro-batch (see start_near_dedup_stream docstring):
+    # availableNow honors these as per-batch limits, so a cold-start
+    # backlog drains as many bounded batches instead of one giant one
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    stream = reader.load(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         with cachepool.scoped():
             batch = cachepool.track(batch_df.select("doc_id", "text"))
+            # one cheap count per micro-batch decides whether the
+            # batch-side frames stay broadcast-hinted; an oversized
+            # batch drops the hints (AQE still broadcasts at runtime
+            # when a frame turns out small)
+            batch_is_small = batch.count() <= broadcast_threshold_rows
+            _maybe_bcast = F.broadcast if batch_is_small else (lambda df: df)
 
             # 1. in-batch near-dedup (cluster canonical survives).  The
             # shingle-array frame feeds the pair verify, the signature
@@ -307,7 +346,7 @@ def _start_near_dedup_stream_fenced(
                 .filter(F.col("id") != F.col("cluster_id"))
                 .select(F.col("id").alias("doc_id"))
             )
-            survivors = batch.join(F.broadcast(non_canonical), "doc_id", "left_anti")
+            survivors = batch.join(_maybe_bcast(non_canonical), "doc_id", "left_anti")
 
             # 2. all-history check: batch (small) broadcasts as the
             # eval side; the index frames ARE the corpus side — the
@@ -342,12 +381,16 @@ def _start_near_dedup_stream_fenced(
                     max_bucket_size=max_bucket_size,
                     _corpus_shingles=hist_sh.select("id", "shingle"),
                     _corpus_signatures=hist_sig,
+                    # the batch IS the eval side here — gate its
+                    # broadcast on the per-batch size check
+                    evalset_is_small=batch_is_small,
+                    contaminated_is_small=batch_is_small,
                 )
                 dup_of_history = report.select(
                     F.col("eval_id").alias("doc_id")
                 ).distinct()
                 survivors = surv_small.join(
-                    F.broadcast(dup_of_history), "doc_id", "left_anti"
+                    _maybe_bcast(dup_of_history), "doc_id", "left_anti"
                 )
 
             survivors = cachepool.track(survivors)
@@ -357,11 +400,11 @@ def _start_near_dedup_stream_fenced(
             # by batch_id so a replay REPLACES its own partitions
             write_batch_idempotent(survivors, batch_id, output_dir)
             write_batch_idempotent(
-                sh_b.join(F.broadcast(surv_ids), "id", "left_semi"),
+                sh_b.join(_maybe_bcast(surv_ids), "id", "left_semi"),
                 batch_id, sh_path,
             )
             write_batch_idempotent(
-                sig_b.join(F.broadcast(surv_ids), "id", "left_semi"),
+                sig_b.join(_maybe_bcast(surv_ids), "id", "left_semi"),
                 batch_id, sig_path,
             )
             if _fail_batches and batch_id in _fail_batches:

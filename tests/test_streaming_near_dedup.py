@@ -768,3 +768,45 @@ def test_streaming_lifecycle_model_fuzz(spark, dirs):
             f"step {_step} ({op}): output diverged from model"
         )
         cachepool.release()
+
+
+def test_catchup_backlog_is_bounded_into_multiple_batches(spark, dirs):
+    """The r7 scale fix (r6 verdict #1): an availableNow catch-up over a
+    many-file backlog must drain as a SEQUENCE of bounded micro-batches
+    (maxFilesPerTrigger), not one giant broadcast batch — and with the
+    batch-side broadcast hints force-dropped (broadcast_threshold_rows=0,
+    the oversized-batch guard path) the accepted set is identical."""
+    import os
+
+    b1 = _batch1(spark)
+    # backlog of ~6 parquet files before the first stream run
+    b1.repartition(6).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs, max_files_per_trigger=2)
+    out = read_stream_output(spark, f"{dirs}/out")
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == sorted(range(20))  # same survivors as the unbounded run
+    # ≥3 distinct micro-batches landed (6 files / 2 per trigger)
+    parts = {
+        d for d in os.listdir(f"{dirs}/out")
+        if d.startswith("batch_id=") and d != "batch_id=-1"
+    }
+    assert len(parts) >= 3, parts
+    cachepool.release()
+
+    # guard path: hints dropped for every batch (threshold 0) — results
+    # identical, so the oversized-batch degrade is behavior-preserving
+    b1.repartition(6).write.mode("append").parquet(f"{dirs}2/in")
+    q = start_near_dedup_stream(
+        spark, f"{dirs}2/in", f"{dirs}2/out", f"{dirs}2/index",
+        f"{dirs}2/ckpt", max_files_per_trigger=2,
+        broadcast_threshold_rows=0, **KW,
+    )
+    q.awaitTermination(180)
+    got2 = sorted(
+        r.doc_id for r in read_stream_output(spark, f"{dirs}2/out").collect()
+    )
+    assert got2 == got
+    import shutil as _sh
+
+    _sh.rmtree(f"{dirs}2", ignore_errors=True)
+    cachepool.release()
