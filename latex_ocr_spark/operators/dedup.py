@@ -256,6 +256,7 @@ def minhash_signatures(
     _shingles: DataFrame | None = None,
     include_size: bool = False,
     _arrs: DataFrame | None = None,
+    include_shingles: bool = False,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) MinHash signature per document.
 
@@ -270,6 +271,14 @@ def minhash_signatures(
     stage needs per-doc shingle counts for the Jaccard denominator, and
     computing them in the same pass instead of a second ``groupBy("id")``
     over a shingle frame saves a full corpus-wide exchange.
+
+    ``include_shingles`` (arrays path only) keeps the ``shingles``
+    array column alongside the signatures, making the output the ONE
+    per-document "profile" frame the whole LSH family can share: a
+    single ``cachepool.track`` of it replaces the r7-early pattern of
+    two stacked caches (arrays + signatures), whose builds raced each
+    other inside one action and re-ran the corpus scan + tokenize +
+    hash family once per cache layer (guide §1.2 step 1 / §5 caching).
     """
     if _shingles is not None:
         # exploded (id, shingle) input — the durable-index format the
@@ -305,6 +314,8 @@ def minhash_signatures(
     cols = [_minhash(i) for i in range(num_hashes)]
     if include_size:
         cols.append(F.size(sh).cast("long").alias("n_shingles"))
+    if include_shingles:
+        cols = [sh.alias("shingles")] + cols
     return arrs.filter(F.size(sh) > 0).select("id", *cols)
 
 
@@ -416,19 +427,34 @@ def lsh_verified_pairs(
     = caller-provided (tracked) ``minhash_signatures(...,
     include_size=True)`` frame over those arrays.
     """
-    arrs = (
-        _arrs
-        if _arrs is not None
-        else cachepool.track(doc_shingle_arrays(docs, text_col, id_col, ngram))
-    )
-    sig = (
-        _signatures
-        if _signatures is not None
-        else minhash_signatures(
-            docs, num_hashes, text_col, id_col, ngram, _arrs=arrs,
-            include_size=True,
+    if _arrs is None and _signatures is None:
+        # ONE cached per-document profile (shingle set + signatures +
+        # size) instead of two stacked caches: inside a single action
+        # each un-materialized cache layer used to re-run the corpus
+        # scan + tokenize + md5 family for its own build (the layers
+        # race; neither sees the other populated), which multiplied
+        # the dominant compute by the number of layers.
+        profile = cachepool.track(
+            minhash_signatures(
+                docs, num_hashes, text_col, id_col, ngram,
+                include_size=True, include_shingles=True,
+            )
         )
-    )
+        arrs, sig = profile, profile
+    else:
+        arrs = (
+            _arrs
+            if _arrs is not None
+            else cachepool.track(doc_shingle_arrays(docs, text_col, id_col, ngram))
+        )
+        sig = (
+            _signatures
+            if _signatures is not None
+            else minhash_signatures(
+                docs, num_hashes, text_col, id_col, ngram, _arrs=arrs,
+                include_size=True,
+            )
+        )
     cand = lsh_candidate_pairs(
         docs, num_hashes, band_size, text_col, id_col, ngram,
         max_bucket_size=max_bucket_size, _signatures=sig,
@@ -436,12 +462,17 @@ def lsh_verified_pairs(
     # the candidate list is collision-bounded (the premise of LSH) and
     # the same order of magnitude as the pair/cluster frames the
     # composed pipelines already treat as broadcast-small; hinting it
-    # keeps the verify joins map-side, so the shingle arrays are never
-    # shuffled.  ``assume_small_pairs=False`` drops the hint (a forced
-    # broadcast overrides Spark's size checks) and lets AQE decide.
-    if assume_small_pairs:
-        cand = F.broadcast(cand)
-    return _jaccard_from_arrays(cand, arrs, threshold)
+    # (and the pair-sized intermediate of the first verify join) keeps
+    # BOTH verify joins' build sides candidate-bounded, so the corpus
+    # shingle arrays are never shuffled OR broadcast — without the
+    # second hint the planner picked the full array frame as the
+    # second join's build side, a corpus-sized broadcast (measured
+    # ~5.8 s build+collect at 50k docs, an OOM at real scale).
+    # ``assume_small_pairs=False`` drops the hints (a forced broadcast
+    # overrides Spark's size checks) and lets AQE decide.
+    return _jaccard_from_arrays(
+        cand, arrs, threshold, pairs_small=assume_small_pairs
+    )
 
 
 def _jaccard_from_arrays(
@@ -449,14 +480,25 @@ def _jaccard_from_arrays(
     arrs_a: DataFrame,
     threshold: float,
     arrs_b=None,
+    pairs_small: bool = False,
 ) -> DataFrame:
     """(a_id, b_id, jaccard) for candidate pairs, by joining the (small)
     pair list to per-document shingle arrays and intersecting in-row:
     |A∩B| via ``array_intersect`` over the distinct sets — bit-identical
-    to the exploded-join count, with zero corpus-side shuffle (the
-    candidate list is the build side of both joins).  ``arrs_b`` =
-    b-side array frame when a_id and b_id come from different tables
-    (may carry a broadcast hint)."""
+    to the exploded-join count, with zero corpus-side shuffle.
+
+    ``pairs_small`` broadcast-hints the candidate-derived side of BOTH
+    joins (the pair list into the first, the pair+a-side-arrays result
+    into the second), so the array frame streams through each join as
+    the probe side.  Without the second hint the planner — going off
+    size estimates — picked the FULL corpus array frame as the second
+    join's build side: a corpus-sized broadcast, the exact
+    "every explicit broadcast is an OOM liability" class (guide §3.1),
+    and measured seconds of build+collect at bench scale.  ``arrs_b``
+    = b-side array frame when a_id and b_id come from different tables
+    (may carry its own broadcast hint — e.g. a benchmark-small eval
+    set — in which case the second join builds from it instead)."""
+    _h = F.broadcast if pairs_small else (lambda df: df)
     a = arrs_a.select(
         F.col("id").alias("a_id"),
         F.col("shingles").alias("_a_sh"),
@@ -467,11 +509,18 @@ def _jaccard_from_arrays(
         F.col("shingles").alias("_b_sh"),
         F.size("shingles").alias("_b_n"),
     )
+    first = a.join(_h(cand), "a_id")
+    if arrs_b is None:
+        # self-join: the big side (b = the same corpus array frame)
+        # must stay the probe — hint the pair-sized intermediate
+        second = b.join(_h(first), "b_id")
+    else:
+        # cross-table: the b side is the caller's (typically tiny,
+        # already-hinted) eval frame — keep it the build side
+        second = first.join(b, "b_id")
     n_common = F.size(F.array_intersect("_a_sh", "_b_sh"))
     return (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn(
+        second.withColumn(
             "jaccard",
             F.round(n_common / (F.col("_a_n") + F.col("_b_n") - n_common), 4),
         )
@@ -676,11 +725,11 @@ def simhash64(
     """64-bit SimHash per document — zero shuffles.
 
     Token hash = xxhash64 (Spark-native, stable across sessions).  The
-    input has one row per document, so the whole computation — token
-    hashes, 64 bit votes, final signature — is per-row higher-order
-    array arithmetic inside one codegen'd project; nothing ever leaves
-    its scan partition.  (The r1 implementation exploded 64 rows per
-    token through two shuffles: 64× shuffle amplification for a
+    input has one row per document: token hashing is one codegen'd JVM
+    projection, and the 64-bit vote fold runs vectorized in numpy over
+    whole Arrow batches (``mapInArrow``); nothing ever leaves its scan
+    partition.  (The r1 implementation exploded 64 rows per token
+    through two shuffles: 64× shuffle amplification for a
     metadata-sized output.  Parity with it is frozen in
     tests/test_dedup.py and resources/goldens/simhash64.parquet.)
 
@@ -693,29 +742,66 @@ def simhash64(
     under-parallel split (test-scale parquet), where the per-row
     64-vote fold would otherwise serialize on one core.
     """
+    from pyspark.sql import types as T
+
     docs = _with_min_parallelism(docs)
     toks = _tokens(text_col)
-    # Per bit b the r1-r6 vote was Σ±1 = 2·(tokens with bit b set) − T,
-    # and the output bit is vote > 0 ⇔ 2·count_b > T — so count set
-    # bits directly.  This drops the two per-token 64-element array
-    # allocations (zip_with acc + the ±1 transform) the old fold paid;
-    # same arithmetic, bit-identical signatures (golden-pinned).
-    simhash = F.expr(
-        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->"
-        " acc + IF(2 * aggregate(_hashes, CAST(0 AS BIGINT),"
-        "            (c, h) -> c + (shiftright(h, b) & 1)) > _n,"
-        "          shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
-    )
-    return (
+    # Token hashing stays JVM-side (xxhash64 is the Spark-native hash
+    # the golden pins); the 64-bit VOTE fold moves to numpy inside
+    # mapInArrow.  Per bit b the vote is Σ±1 = 2·(tokens with bit b
+    # set) − T, and the output bit is vote > 0 ⇔ 2·count_b > T.  The
+    # r6 expression computed that as a 64×T interpreted higher-order
+    # fold per document — measured 13 s warm for 500k docs on 32
+    # cores; unpackbits + add.reduceat + packbits does the identical
+    # arithmetic vectorized over the whole Arrow batch (guide §4.2:
+    # hand batches to native code rather than chaining interpreted
+    # JVM expressions).  Bit-identical signatures (golden-pinned):
+    # little-endian unpack/pack of the int64 bit pattern reproduces
+    # shiftright(h, b) & 1 and Σ bit_b·2^b including the sign bit.
+    hashed = (
         docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
-        .withColumn("_hashes", F.expr("transform(_toks, t -> xxhash64(t))"))
-        # size of _toks, not _hashes: keeps _hashes single-referenced so
-        # the optimizer collapses the projection chain without ever
-        # duplicating the token-hash transform
-        .withColumn("_n", F.size("_toks").cast("bigint"))
-        .select("id", simhash.alias("simhash"))
+        .select("id", F.expr("transform(_toks, t -> xxhash64(t))").alias("_hashes"))
     )
+    id_type = hashed.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("simhash", T.LongType(), True),
+        ]
+    )
+
+    def _vote(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            lst = rb.column("_hashes")
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            # flatten() honours the array's slice offset; offsets are
+            # re-based to the flattened values
+            offsets = np.asarray(lst.offsets)
+            offsets = (offsets - offsets[0]).astype(np.int64)
+            vals = np.asarray(lst.flatten(), dtype=np.int64)
+            # bit matrix: little-endian byte view → one column per bit
+            bits = np.unpackbits(
+                vals.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            counts = np.add.reduceat(bits, offsets[:-1], axis=0)
+            n_toks = np.diff(offsets).reshape(-1, 1)
+            votes = (2 * counts) > n_toks
+            sims = np.packbits(
+                votes, axis=1, bitorder="little"
+            ).view(np.int64).reshape(-1)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("id"), pa.array(sims, type=pa.int64())],
+                names=["id", "simhash"],
+            )
+
+    return hashed.mapInArrow(_vote, schema=out_schema)
 
 
 def cross_lsh_candidates(
@@ -891,13 +977,32 @@ def decontaminate(
         # exact verify intersects per candidate pair — no exploded
         # relation, no distinct exchange, no signature groupBy (see
         # lsh_verified_pairs)
-        arrs_c = (
-            _corpus_arrs
-            if _corpus_arrs is not None
-            else cachepool.track(
-                doc_shingle_arrays(corpus, text_col, id_col, ngram)
+        if _corpus_arrs is None and _corpus_signatures is None:
+            # ONE cached corpus profile (arrays + signatures + size):
+            # two stacked caches would each re-run the corpus scan +
+            # hash family for their own build (see lsh_verified_pairs)
+            prof_c = cachepool.track(
+                minhash_signatures(
+                    corpus, num_hashes, text_col, id_col, ngram,
+                    include_size=True, include_shingles=True,
+                )
             )
-        )
+            arrs_c, sig_c = prof_c, prof_c
+        else:
+            arrs_c = (
+                _corpus_arrs
+                if _corpus_arrs is not None
+                else cachepool.track(
+                    doc_shingle_arrays(corpus, text_col, id_col, ngram)
+                )
+            )
+            sig_c = (
+                _corpus_signatures
+                if _corpus_signatures is not None
+                else minhash_signatures(
+                    None, num_hashes, _arrs=arrs_c, include_size=True
+                )
+            )
         # eval side is usually benchmark-small: skip the amplification
         # fan-out (a wasted exchange on a few hundred rows) unless told
         # otherwise
@@ -905,13 +1010,6 @@ def decontaminate(
             doc_shingle_arrays(
                 evalset, text_col, id_col, ngram,
                 parallel_hint=not evalset_is_small,
-            )
-        )
-        sig_c = (
-            _corpus_signatures
-            if _corpus_signatures is not None
-            else minhash_signatures(
-                None, num_hashes, _arrs=arrs_c, include_size=True
             )
         )
         sig_e = minhash_signatures(
@@ -925,13 +1023,13 @@ def decontaminate(
         )
         # candidates are bounded by cross-table band collisions — the
         # same frame the contaminated-id set derives from, so the same
-        # smallness knob gates its broadcast into the verify joins
-        if contaminated_is_small:
-            cand = F.broadcast(cand)
+        # smallness knob gates their broadcast into the first verify
+        # join (the second builds from the eval-side arrays)
         report = cachepool.track(
             _jaccard_from_arrays(
                 cand, arrs_c, threshold,
                 arrs_b=F.broadcast(arrs_e) if evalset_is_small else arrs_e,
+                pairs_small=contaminated_is_small,
             ).select(
                 F.col("a_id").alias("corpus_id"),
                 F.col("b_id").alias("eval_id"),

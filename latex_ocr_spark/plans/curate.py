@@ -274,19 +274,21 @@ def curate_corpus(
     arrs3 = None
     sig3 = None
     if near_dup_method == "lsh":
+        # ONE cached per-document profile (shingle set + signatures +
+        # size) for the whole funnel: the near-dup stage and
+        # (survivor-filtered) the decontamination stage both read this
+        # frame — per-doc signatures are unaffected by dropping other
+        # documents, so the filtered reuse is exact.  One cache layer,
+        # not two (arrays + signatures): stacked caches raced their
+        # builds inside the cluster loop's first action and re-ran the
+        # corpus tokenize + hash family once per layer.
         arrs3 = cachepool.track(
-            D.doc_shingle_arrays(cur3, text_col=text_col, id_col=id_col, ngram=ngram)
-        )
-        # ONE signature pass for the whole funnel: the near-dup stage
-        # and (survivor-filtered) the decontamination stage both read
-        # this frame — per-doc signatures are unaffected by dropping
-        # other documents, so the filtered reuse is exact
-        sig3 = cachepool.track(
             D.minhash_signatures(
                 cur3, num_hashes, text_col, id_col, ngram,
-                _arrs=arrs3, include_size=True,
+                include_size=True, include_shingles=True,
             )
         )
+        sig3 = arrs3
         raw_pairs = D.lsh_verified_pairs(
             cur3, threshold=dedup_threshold, num_hashes=num_hashes,
             band_size=band_size, text_col=text_col, id_col=id_col,

@@ -314,18 +314,17 @@ def _curate_resumable_impl(
         started = int(time.time())
         if near_dup_method == "lsh":
             # row-wise shingle sets + signature projection — no explode,
-            # no distinct exchange, no groupBy (see operators/dedup.py)
+            # no distinct exchange, no groupBy (see operators/dedup.py).
+            # ONE cached profile frame (shingles + signatures + size):
+            # stacked caches would re-run the corpus tokenize + hash
+            # family once per layer inside a single action
             arrs3 = cachepool.track(
-                D.doc_shingle_arrays(
-                    cur3, text_col=text_col, id_col=id_col, ngram=ngram
-                )
-            )
-            sig3 = cachepool.track(
                 D.minhash_signatures(
                     cur3, num_hashes, text_col, id_col, ngram,
-                    _arrs=arrs3, include_size=True,
+                    include_size=True, include_shingles=True,
                 )
             )
+            sig3 = arrs3
             raw_pairs = D.lsh_verified_pairs(
                 cur3, threshold=dedup_threshold, num_hashes=num_hashes,
                 band_size=band_size, text_col=text_col, id_col=id_col,

@@ -327,14 +327,21 @@ def _start_near_dedup_stream_fenced(
             # projection AND (exploded) the index write, so the batch is
             # tokenized once; the index keeps its exploded (id, shingle)
             # on-disk format unchanged.
-            arrs_b = cachepool.track(D.doc_shingle_arrays(batch, ngram=ngram))
-            sh_b = arrs_b.select("id", F.explode("shingles").alias("shingle"))
-            sig_b = cachepool.track(
+            # ONE cached per-batch profile (shingles + signatures +
+            # size): two stacked caches would each re-run the batch
+            # tokenize + hash family for their own build (see
+            # lsh_verified_pairs)
+            arrs_b = cachepool.track(
                 D.minhash_signatures(
                     batch, num_hashes, ngram=ngram,
-                    _arrs=arrs_b, include_size=True,
+                    include_size=True, include_shingles=True,
                 )
             )
+            sh_b = arrs_b.select("id", F.explode("shingles").alias("shingle"))
+            # zero-cost projection over the same cache; ALSO keeps the
+            # on-disk signature-index schema exactly as before (sig_b
+            # is written wholesale below)
+            sig_b = arrs_b.drop("shingles")
             pairs = D.lsh_verified_pairs(
                 batch, threshold=threshold, num_hashes=num_hashes,
                 band_size=band_size, ngram=ngram,
