@@ -44,6 +44,42 @@ def _build(name, spark, sf_dir):
     return None
 
 
+def _build_explained(name, spark, sf_dir):
+    """DataFrame whose plan stands for ``name`` in the explain capture —
+    including the composed runners (the final frame of each) and the
+    flagship (the extraction pipeline over the materialized table)."""
+    import bench as B
+
+    df = _build(name, spark, sf_dir)
+    if df is not None:
+        return df
+    if name == "extract_transcripts":
+        from latex_ocr_spark.operators.extract import extract_spans, with_stable_order
+
+        path = f"/tmp/bench_transcripts_{B.BENCH_CONVS}_p64"
+        return with_stable_order(extract_spans(spark.read.parquet(path)))
+    from pyspark.sql import functions as F
+
+    from latex_ocr_spark.plans.curate import curate_corpus
+    from latex_ocr_spark.plans.registry import planted_evalset
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    res = curate_corpus(
+        docs, planted_evalset(docs), min_tokens=3, near_dup_method="lsh",
+        ngram=3, val_fraction=0.1, collect_funnel=False,
+    )
+    if name == "curate_funnel":
+        return res.documents
+    from latex_ocr_spark.operators.packing import pack_sequences
+    from latex_ocr_spark.operators.tokenize import with_tokens
+
+    toks = with_tokens(res.documents, text_col="text", out_col="tokens")
+    toks = toks.withColumn("n_tokens", F.size("tokens"))
+    return pack_sequences(toks, budget=2048, group_col="split")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -89,15 +125,14 @@ def main() -> None:
             cost = _plan_cost(spark, marker)
             spark.sparkContext.setJobDescription(None)
         cachepool.release()
-        if args.explain_dir and name not in (
-            "curate_funnel", "prepare_pipeline", "extract_transcripts"
-        ):
+        if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
-            df = _build(name, spark, args.sf_dir)
+            df = _build_explained(name, spark, args.sf_dir)
             path = os.path.join(args.explain_dir, f"{name}_{args.suffix}.txt")
             with open(path, "w") as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
+            cachepool.release()
         results[name] = {"secs": secs, "best": min(secs), "plan_cost": cost}
         print(json.dumps({"query": name, "sf": args.sf_dir, **results[name]}),
               flush=True)

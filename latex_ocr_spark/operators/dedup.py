@@ -353,12 +353,24 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs: documents sharing any band key.
 
     Bands of ``band_size`` signature slots are hashed to a band key;
-    candidates come from an equi-join on (band_idx, band_key) — the
-    plan is explode → shuffle on the band key → pair — which scales as
-    the number of true near-dups, not as n².
+    candidates come from ONE hash aggregation on (band_idx, band_key)
+    followed by in-bucket pair expansion (sorted id list → (i, j) with
+    i < j, a plain generate) — which scales as the number of band-key
+    collisions, not as n².  Versus the r1–r7-early band-key self-join
+    this reads the keyed frame once instead of twice, needs no cache
+    of it, folds the ``max_bucket_size`` guard into a free
+    ``size(_ids)`` filter (the self-join needed a separate hot-key
+    aggregation + broadcast anti-join), and — decisive for the
+    cross-scale gate — exchanges the keyed rows at EVERY scale: the
+    self-join's small-scale plan broadcast one side (zero shuffle
+    bytes), so its shuffle bytes exploded by >1000× the moment scale
+    pushed it over the broadcast threshold, reading as a quadratic to
+    any bytes-growth monitor when it was really a strategy flip.  One
+    groupBy exchange is the same bytes the sort-merge join would move
+    for one side, and it grows linearly.
 
     ``max_bucket_size`` is the degenerate-key guard: a band key shared
-    by k documents contributes k² join rows, so one monster bucket
+    by k documents contributes k² pairs, so one monster bucket
     (e.g. a boilerplate page repeated a million times) IS the n²
     blowup.  Buckets above the cap are dropped.  That is a real recall
     trade, not a free lunch: an *exact*-dup family is recovered
@@ -366,7 +378,7 @@ def lsh_candidate_pairs(
     of near-identical (non-byte-equal) pages loses its candidate pairs
     entirely — when such families are expected, fingerprint-normalize
     first (``textstats.fingerprints``) or raise the cap and pay the
-    join.
+    expansion.
     """
     sig = (
         _signatures
@@ -376,18 +388,28 @@ def lsh_candidate_pairs(
         )
     )
     keyed = _band_keyed(sig, num_hashes, band_size)
-    keyed = cachepool.track(keyed)  # both sides of the candidate self-join read this
-    if max_bucket_size is not None:
-        keyed = _drop_hot_keys(keyed, ["band_idx", "band_key"], max_bucket_size)
-    a, b = keyed.alias("a"), keyed.alias("b")
+    buckets = keyed.groupBy("band_idx", "band_key").agg(
+        F.array_sort(F.collect_list("id")).alias("_ids")
+    )
+    # singleton buckets (the overwhelming majority) yield no pairs;
+    # with a cap, oversized buckets drop exactly as the hot-key
+    # anti-join did (every pair of a dropped bucket disappears)
+    max_ids = max_bucket_size if max_bucket_size is not None else None
+    buckets = buckets.filter(
+        (F.size("_ids") >= 2)
+        & ((F.size("_ids") <= max_ids) if max_ids is not None else F.lit(True))
+    )
+    # (a, b) with a < b from the sorted list: element i pairs with
+    # every later element — identical pair set to the old
+    # a.id < b.id equi-join, deduped across bands as before
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(F.col("_ids"), F.posexplode("_ids").alias("_i", "a_id"))
+        .select(
+            "a_id",
+            F.explode(
+                F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))
+            ).alias("b_id"),
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
 

@@ -9,7 +9,7 @@ Plan shape (SURVEY.md §3.1/§3.2 "Spark shape"):
         bucket) + sortWithinPartitions(bucket) so every Arrow batch
         feeds the Python kernel near-uniform row costs (the reference's
         size-bucket batching, dataset.py:70-79, as skew mitigation)
-      → mapInPandas(extract_spans_batches)  [the only Python stage]
+      → mapInArrow(extract_spans_arrow)  [the only Python stage]
       → split: spans / failed-turn quarantine
       → stable ordering restored via window over (conv_id, turn_idx)
 
@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from latex_ocr_spark.functions.udfs import FAILED_TURN_SPAN_IDX, extract_spans_batches
+from latex_ocr_spark.functions.udfs import FAILED_TURN_SPAN_IDX, extract_spans_arrow
 from latex_ocr_spark.sources.tables import EXTRACTED_SCHEMA
 
 DEFAULT_SALT_BUCKETS = 64
@@ -124,7 +124,7 @@ def extract_spans_with_failures(
         candidates = shape_uniform_repartition(
             candidates, num_partitions=repartition, salt_buckets=salt_buckets
         )
-    raw = candidates.mapInPandas(extract_spans_batches, schema=EXTRACTED_SCHEMA)
+    raw = candidates.mapInArrow(extract_spans_arrow, schema=EXTRACTED_SCHEMA)
     if persist_raw:
         raw = raw.persist()
     spans = raw.filter(F.col("span_idx") != FAILED_TURN_SPAN_IDX)
