@@ -187,8 +187,23 @@ def _resolve_stream_knobs(spark, args, parser) -> dict:
             return applied
         import shutil
 
-        shutil.rmtree(meta_path)  # stream re-fingerprints with the
-        # derived knobs below
+        from latex_ocr_spark.lease import DirLease
+
+        # fence the empty-index _meta reset with the index's own
+        # stream lease (r6 review): unfenced, this rmtree could race a
+        # concurrently starting stream that is validating or rewriting
+        # _meta.  Emptiness is re-checked under the lease; a LIVE
+        # stream on the index makes the acquire fail loudly — correct,
+        # since auto-knobbing an index under a running stream is the
+        # same torn state the stream-start fence forbids.  The stream
+        # re-fingerprints with the derived knobs below.
+        with DirLease(args.index, name="_stream_lock", role="auto-knobs meta reset"):
+            if (
+                not list_index_batches(args.index)
+                and not os.path.isdir(os.path.join(args.index, "signatures"))
+                and os.path.exists(meta_path)
+            ):
+                shutil.rmtree(meta_path)
     except AnalysisException as e:
         if not ("PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)):
             raise

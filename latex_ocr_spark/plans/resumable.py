@@ -104,9 +104,14 @@ class CheckpointLease(DirLease):
     concurrent runs on the same checkpoint could interleave an
     artifact overwrite from run A with a lineage append from run B,
     committing a lineage row that describes the other run's bytes.
-    Mechanics (O_CREAT|O_EXCL lock file, dead-owner break, loud
-    refusal otherwise) live in :class:`latex_ocr_spark.lease.DirLease`
-    — shared with the survivor-index maintenance fence.
+    Mechanics live in :class:`latex_ocr_spark.lease.DirLease`, shared
+    with the survivor-index fences: an ``flock`` on a lock file the
+    kernel releases the instant the holding process dies — there is
+    NO break step and no operator-deletable "stale" lock (lease.py
+    documents why the old O_CREAT|O_EXCL + dead-owner-break design
+    was unsafe); a second live holder is refused loudly with the
+    holder's identity, and remote/URI checkpoint paths are rejected
+    rather than silently unfenced.
     """
 
     def __init__(self, checkpoint_dir: str):

@@ -500,11 +500,20 @@ def compact_index(spark: SparkSession, index_dir: str, num_partitions: int = 32)
     the stream's ``batch_id != current`` filter keeps -1 partitions
     visible forever (real batch ids are never negative).
 
-    CONTRACT: run only after a CLEAN stream shutdown (last batch's
-    checkpoint committed).  Compacting while a crashed batch awaits
-    replay would fold its partial rows into -1, and the replay would
-    then re-add them under their own batch id — duplicate index rows
-    double intersection counts and corrupt the verify Jaccard.
+    The NEWEST real batch is never folded.  Micro-batches commit in
+    order, so the maximum batch id is the only one whose checkpoint
+    commit may not have landed (a crashed stream — whose flock lease
+    the kernel auto-releases, so compaction is reachable in exactly
+    that state).  Folding that batch's partial rows into -1 would
+    defeat the replay's ``batch_id != N`` self-exclusion: every
+    replayed doc would match its own previous attempt's rows at
+    jaccard 1.0 and the batch's output partition would be idempotently
+    overwritten EMPTY — silent data loss.  Keeping it under its own id
+    costs one extra partition until the next compaction and makes
+    compact-after-crash safe; a replay simply overwrites the kept
+    partition.  Committed-batch duplicates across the fold boundary
+    cannot exist (a doc id is written by exactly one batch), so
+    intersection counts are unchanged.
 
     Returns {"shingles": n_rows, "signatures": n_rows} after compaction.
 
@@ -565,13 +574,21 @@ def _refuse_live_stream(index_dir: str, what: str,
 
 def _compact_index_locked(spark, index_dir, num_partitions, _shutil) -> dict:
     recover_compaction(index_dir)
+    # the newest real batch stays under its own id (see compact_index
+    # docstring: it is the only possibly-uncommitted one, and a replay
+    # needs its own previous rows self-excluded by batch id)
+    real = list_index_batches(index_dir)
+    keep_batch = real[-1] if real else None
     out = {}
     for sub, keys in (("shingles", ["id", "shingle"]), ("signatures", ["id"])):
         path = os.path.join(index_dir, sub)
         staging = _staging_path(index_dir, sub)
         bak = _bak_path(index_dir, sub)
+        src = spark.read.parquet(path)
+        if keep_batch is not None:
+            src = src.filter(F.col(BATCH_COL) != keep_batch)
         compacted = (
-            spark.read.parquet(path)
+            src
             .drop(BATCH_COL)
             .dropDuplicates(keys)
             .repartition(num_partitions)
@@ -580,6 +597,13 @@ def _compact_index_locked(spark, index_dir, num_partitions, _shutil) -> dict:
         # the source partitions are read fully before the staging
         # write commits (no read-own-write hazard)
         compacted.write.mode("overwrite").partitionBy(BATCH_COL).parquet(staging)
+        if keep_batch is not None:
+            kept_part = os.path.join(path, f"{BATCH_COL}={keep_batch}")
+            if os.path.isdir(kept_part):
+                _shutil.copytree(
+                    kept_part,
+                    os.path.join(staging, f"{BATCH_COL}={keep_batch}"),
+                )
         out[sub] = spark.read.parquet(staging).count()
         _shutil.move(path, bak)
         _shutil.move(staging, path)

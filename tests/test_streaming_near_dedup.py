@@ -123,6 +123,52 @@ def test_replayed_batch_keeps_survivors_exactly_once(spark, dirs):
     cachepool.release()
 
 
+def test_compact_after_crash_keeps_pending_replay_exact(spark, dirs):
+    """The r6-review data-loss window: a stream crashes AFTER a batch's
+    writes but BEFORE its checkpoint commit (the flock lease
+    auto-releases, so maintenance is reachable), compaction runs, then
+    the stream replays the batch.  The crashed batch's partial rows
+    must NOT be folded into batch_id=-1 — under -1 they escape the
+    replay's ``batch_id != N`` self-exclusion, every replayed doc
+    matches its own previous attempt at jaccard 1.0, and the batch's
+    output partition is idempotently overwritten empty.  compact_index
+    keeps the newest real batch under its own id, so the replay
+    overwrites it and the output survives."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from latex_ocr_spark.streaming.near_dedup import compact_index
+
+    _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)  # batch 0 commits cleanly
+    cachepool.release()
+
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    q = start_near_dedup_stream(
+        spark, f"{dirs}/in", f"{dirs}/out", f"{dirs}/index", f"{dirs}/ckpt",
+        _fail_batches={1}, **KW,
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(180)
+    cachepool.release()
+
+    # maintenance between crash and replay: batch 1 (uncommitted) must
+    # survive under its own id, batch 0 folds into -1
+    compact_index(spark, f"{dirs}/index", num_partitions=2)
+    import glob
+
+    parts = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{dirs}/index/signatures/batch_id=*")
+    )
+    assert parts == ["-1", "1"]
+
+    _run(spark, dirs)  # replay batch 1
+    got = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
+    assert got == sorted(list(range(20)) + [200 + i for i in range(10)])
+    idx = spark.read.parquet(f"{dirs}/index/signatures").select("id").collect()
+    assert len(idx) == len({r.id for r in idx}) == 30  # no duplicate index rows
+    cachepool.release()
+
+
 def test_index_config_fingerprint_refuses_knob_drift(spark, dirs):
     """A survivor index built under one similarity config must refuse a
     restart under another — comparing 2-gram batch shingles against a
@@ -139,10 +185,12 @@ def test_index_config_fingerprint_refuses_knob_drift(spark, dirs):
 
 
 def test_index_compaction_preserves_dedup_behavior(spark, dirs):
-    """compact_index folds the per-batch partitions into batch_id=-1,
-    drops duplicate rows, and the compacted history still suppresses
-    later near-dups exactly as before (the stream's != filter keeps -1
-    visible forever)."""
+    """compact_index folds all-but-the-newest batch partitions into
+    batch_id=-1, drops duplicate rows, and keeps the NEWEST real batch
+    under its own id (the only possibly-uncommitted one — folding it
+    would break a pending replay's self-exclusion; see the r6 review).
+    Compacted history still suppresses later near-dups exactly as
+    before — through the -1 partition AND the kept partition."""
     import glob
 
     from latex_ocr_spark.streaming.near_dedup import compact_index
@@ -150,20 +198,28 @@ def test_index_compaction_preserves_dedup_behavior(spark, dirs):
     _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
     _run(spark, dirs)
     cachepool.release()
+    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
 
     stats = compact_index(spark, f"{dirs}/index", num_partitions=2)
-    assert stats["signatures"] == 20
-    # exactly one partition dir left per table
+    # batch 0 (20 survivors) folded into -1; batch 1 (10 survivors) kept
+    assert stats["signatures"] == 30
     parts = glob.glob(f"{dirs}/index/signatures/batch_id=*")
-    assert [p.split("=")[-1] for p in parts] == ["-1"]
+    assert sorted(p.split("=")[-1] for p in parts) == ["-1", "1"]
     # idempotent: compacting again changes nothing
     assert compact_index(spark, f"{dirs}/index", num_partitions=2) == stats
 
-    # history checks still work over the compacted index
-    _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
+    # history checks still work over the compacted index — a copy of a
+    # FOLDED survivor (7 → -1) and of a KEPT survivor (205 → batch 1)
+    # are both dropped; the fresh doc is admitted
+    spark.createDataFrame(
+        [(600, _text(7)), (601, _text(205)), (602, _text(888))],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(f"{dirs}/in")
     _run(spark, dirs)
     got = sorted(r.doc_id for r in read_stream_output(spark, f"{dirs}/out").collect())
-    assert got == sorted(list(range(20)) + [200 + i for i in range(10)])
+    assert got == sorted(list(range(20)) + [200 + i for i in range(10)] + [602])
     cachepool.release()
 
 
@@ -331,17 +387,23 @@ def test_prune_keep_last_n_and_compacted_partition_survives(spark, dirs):
     _batch1(spark).write.mode("append").parquet(f"{dirs}/in")
     _run(spark, dirs)
     cachepool.release()
-    compact_index(spark, f"{dirs}/index", num_partitions=2)  # -> batch_id=-1
     _batch2(spark).write.mode("append").parquet(f"{dirs}/in")
     _run(spark, dirs)
     cachepool.release()
-    assert list_index_batches(f"{dirs}/index") == [1]
+    # batch 0 folds into -1; batch 1 (newest) keeps its own partition
+    compact_index(spark, f"{dirs}/index", num_partitions=2)
+    spark.createDataFrame(
+        [(500 + i, _text(500 + i)) for i in range(4)], "doc_id long, text string"
+    ).write.mode("append").parquet(f"{dirs}/in")
+    _run(spark, dirs)
+    cachepool.release()
+    assert list_index_batches(f"{dirs}/index") == [1, 2]
 
     got = prune_index(spark, f"{dirs}/index", keep_last_n=1)
-    assert got == {"pruned": [], "kept": [1]}
+    assert got == {"pruned": [1], "kept": [2]}
     # pruning ALL real batches is legal with a -1 partition present
     got = prune_index(spark, f"{dirs}/index", min_batch_id=10_000)
-    assert got == {"pruned": [1], "kept": []}
+    assert got == {"pruned": [2], "kept": []}
     import glob
 
     assert glob.glob(f"{dirs}/index/signatures/batch_id=*") == [
@@ -387,7 +449,9 @@ def test_index_maintenance_cli(spark, dirs):
     assert out["prune"] == {"pruned": [0], "kept": [1]}
     out = job("compact", "--num-partitions", "2")
     assert out["compact"]["signatures"] == 10  # batch 1's survivors
-    assert out["batches"] == []  # all folded into -1
+    # the newest real batch is kept under its own id (replay safety);
+    # with batch 0 pruned there is nothing to fold into -1
+    assert out["batches"] == [1]
     out = job("recover")  # clean index: nothing to do
     assert out == {"recover": []}
 
@@ -747,7 +811,20 @@ def test_streaming_lifecycle_model_fuzz(spark, dirs):
             if not model_index:
                 continue
             compact_index(spark, f"{dirs}/index", num_partitions=2)
-            model_index = {-1: set().union(*model_index.values())}
+            # all-but-the-newest real batch (and any prior -1) fold
+            # into -1; the newest real batch keeps its own partition
+            # (replay safety — mirrors _compact_index_locked)
+            real = sorted(b for b in model_index if b >= 0)
+            if real:
+                keep = real[-1]
+                folded = set().union(
+                    *(v for b, v in model_index.items() if b != keep)
+                ) if len(model_index) > 1 else set()
+                new_model = {keep: model_index[keep]}
+                if folded:
+                    new_model[-1] = folded
+                model_index = new_model
+            # only a -1 partition present: folding it is a no-op
         else:
             real = sorted(b for b in model_index if b >= 0)
             if not real:
