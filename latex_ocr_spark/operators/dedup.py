@@ -247,6 +247,109 @@ def jaccard_pairs(
     return _jaccard_from_intersections(inter, sh, threshold)
 
 
+#: per-worker memo for the fused profile kernel: shingle -> its
+#: ``num_hashes`` md5 digests, keyed by the hash-family size.  Corpora
+#: repeat shingles heavily (that is the premise of near-dedup — the
+#: bench corpus measures ~10% unique), so most lookups hit.  Bounded:
+#: cleared when it outgrows the cap, so a pathological vocabulary can
+#: never OOM a long-lived reused worker (guide §4.5).
+_PROFILE_MEMO: dict = {}
+_PROFILE_MEMO_CAP = 1 << 17
+
+
+def _profile_kernel(
+    num_hashes: int, ngram: int, include_size: bool, include_shingles: bool
+):
+    """mapInArrow body for the fused per-document profile: tokenize →
+    n-gram shingle set → md5 MinHash family, one Python pass (guide
+    §4.2: the JVM higher-order-function chain is interpreted, and the
+    8-way md5 family measured ~11× slower per hash than hashlib; the
+    whole kernel is a narrow map — no shuffle, schema identical to the
+    JVM projection it replaces, bit-for-bit).
+
+    Exactness notes (each pinned by tests/test_dedup.py parity):
+    - tokens: Java ``\\s+`` is the ASCII class [ \\t\\n\\x0B\\f\\r] —
+      replicated literally (Python's ``\\s`` is Unicode-wide and would
+      split more);
+    - shingle set: first-occurrence order, as ``array_distinct``;
+    - sig_i = min md5(shingle ‖ '#i') as lowercase hex — ASCII min
+      equals Spark's UTF8 binary ordering;
+    - md5 state for a shingle is computed once and ``copy()``-extended
+      per suffix (md5(s ‖ '#i') exactly, ~2× cheaper than k full
+      hashes).
+    """
+    import re as _re
+
+    import pyarrow as pa
+
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    from hashlib import md5 as _md5
+
+    suffixes = [f"#{i}".encode() for i in range(num_hashes)]
+    memo = _PROFILE_MEMO.setdefault(num_hashes, {})
+
+    def run(batches):
+        for rb in batches:
+            texts = rb.column("__text").to_pylist()
+            keep, shingle_sets, sigs = [], [], [[] for _ in range(num_hashes)]
+            sizes = []
+            for row_i, text in enumerate(texts):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text) if t]
+                if ngram == 1:
+                    sh = list(dict.fromkeys(toks))
+                else:
+                    sh = list(
+                        dict.fromkeys(
+                            " ".join(toks[j : j + ngram])
+                            for j in range(len(toks) - ngram + 1)
+                        )
+                    )
+                if not sh:
+                    continue
+                best = None
+                for s in sh:
+                    digs = memo.get(s)
+                    if digs is None:
+                        if len(memo) >= _PROFILE_MEMO_CAP:
+                            memo.clear()
+                        h = _md5(s.encode())
+                        digs = []
+                        for suf in suffixes:
+                            hi = h.copy()
+                            hi.update(suf)
+                            digs.append(hi.hexdigest())
+                        memo[s] = digs
+                    if best is None:
+                        best = list(digs)
+                    else:
+                        for i in range(num_hashes):
+                            if digs[i] < best[i]:
+                                best[i] = digs[i]
+                keep.append(row_i)
+                if include_shingles:
+                    shingle_sets.append(sh)
+                if include_size:
+                    sizes.append(len(sh))
+                for i in range(num_hashes):
+                    sigs[i].append(best[i])
+            cols = [rb.column("id").take(pa.array(keep, type=pa.int32()))]
+            names = ["id"]
+            if include_shingles:
+                cols.append(pa.array(shingle_sets, type=pa.list_(pa.string())))
+                names.append("shingles")
+            for i in range(num_hashes):
+                cols.append(pa.array(sigs[i], type=pa.string()))
+                names.append(f"sig_{i}")
+            if include_size:
+                cols.append(pa.array(sizes, type=pa.int64()))
+                names.append("n_shingles")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return run
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -291,6 +394,35 @@ def minhash_signatures(
         if include_size:
             aggs.append(F.count(F.lit(1)).alias("n_shingles"))
         return _shingles.groupBy("id").agg(*aggs)
+    if _arrs is None and docs is not None and num_hashes > 0:
+        # fused Arrow path (r7): when the shingle sets must be built
+        # from text anyway, tokenize + shingle + the whole md5 MinHash
+        # family run in ONE narrow Python kernel — the JVM
+        # higher-order-function chain is interpreted and the 8-hash md5
+        # family measured 134 core-seconds for 50k docs (~6.4 µs/hash)
+        # vs hashlib's ~0.6 µs; bit-identical output and schema
+        # (parity-pinned), zero exchanges either way.  Callers that
+        # already hold an arrays frame (_arrs) keep the JVM projection.
+        from pyspark.sql import types as T
+
+        src = _with_min_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        )
+        fields = [T.StructField("id", src.schema["id"].dataType, True)]
+        if include_shingles:
+            fields.append(
+                T.StructField("shingles", T.ArrayType(T.StringType()), True)
+            )
+        fields += [
+            T.StructField(f"sig_{i}", T.StringType(), True)
+            for i in range(num_hashes)
+        ]
+        if include_size:
+            fields.append(T.StructField("n_shingles", T.LongType(), True))
+        return src.mapInArrow(
+            _profile_kernel(num_hashes, ngram, include_size, include_shingles),
+            schema=T.StructType(fields),
+        )
     # row-wise path: per-document min over the shingle-set's hash family
     # — a plain projection, no groupBy exchange (guide §2.4).  min over
     # the distinct set equals min over the multiset, and n_shingles is
@@ -574,22 +706,44 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Isolated documents (no pair) are not in the output — callers union
     them back as their own singletons if needed (cheap anti-join).
     """
+    from pyspark.sql import Observation
+
     e = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    # round 1 fused with label initialization (r7): labels start as
+    # their own id, so the first round's neighbor-min is just min(dst)
+    # per src — ONE aggregation job replaces the old distinct-
+    # materialize job plus a join round.  Labels and the changed count
+    # are identical (least(src, min(dst)) == least(label, min(neighbor
+    # labels)) when every label is its id), each round still propagates
+    # one hop, so max_iter bounds the same number of propagation rounds
+    # as before (pinned by the diameter-21 chain and the
+    # non-convergence tests).
+    obs0 = Observation()
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
+        )
+        .observe(
+            obs0,
+            F.sum(
+                F.when(F.col("label") != F.col("id"), 1).otherwise(0)
+            ).alias("changed"),
+        )
+        .select("id", "label")
         .localCheckpoint()
     )
-    changed = 0
-    for _ in range(max_iter):
-        from pyspark.sql import Observation
-
+    changed = int(obs0.get["changed"] or 0)
+    for _ in range(1, max_iter):
+        if changed == 0:
+            break
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")

@@ -44,19 +44,24 @@ def cosine_topk(
     4 decimals and ties break on candidate id, making the ranking
     deterministic and engine-portable.
     """
+    # norms are per-VECTOR, so compute them in the projections before
+    # the pair join — the old per-pair _norm recomputed the same
+    # interpreted 64-element fold once per (query, candidate) pair,
+    # tripling the scoring stage's higher-order-function work (guide
+    # §1.2 per-task work; arithmetic identical, so cosines are
+    # bit-for-bit unchanged)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_qn", _norm(F.col("qv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("_cn", _norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
                 4,
             ),
         )
@@ -98,23 +103,36 @@ def cosine_dup_pairs(
     scheduling for 205 vectors at sf1.0.  Leave False for unbounded
     inputs (a forced broadcast overrides the size checks).
     """
+    # per-vector norm computed once in the projection, not per pair —
+    # the pair join multiplies rows, and each _norm is an interpreted
+    # 64-element fold (bit-identical arithmetic, 3× less per-pair work)
     v = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("_n", _norm(F.col("v")))
     _maybe_small = F.broadcast if assume_small else (lambda df: df)
     if num_planes:
         b = hyperplane_buckets(embeddings, num_planes, id_col, vec_col, hash_fn)
-        a_side = v.join(b, "id").select(F.col("id").alias("a_id"), F.col("v").alias("av"), "bucket")
-        b_side = v.join(b, "id").select(F.col("id").alias("b_id"), F.col("v").alias("bv"), "bucket")
+        a_side = v.join(b, "id").select(
+            F.col("id").alias("a_id"), F.col("v").alias("av"),
+            F.col("_n").alias("_an"), "bucket",
+        )
+        b_side = v.join(b, "id").select(
+            F.col("id").alias("b_id"), F.col("v").alias("bv"),
+            F.col("_n").alias("_bn"), "bucket",
+        )
         pairs = a_side.join(_maybe_small(b_side), ["bucket"]).filter(F.col("a_id") < F.col("b_id"))
     else:
-        a_side = v.select(F.col("id").alias("a_id"), F.col("v").alias("av"))
-        b_side = v.select(F.col("id").alias("b_id"), F.col("v").alias("bv"))
+        a_side = v.select(
+            F.col("id").alias("a_id"), F.col("v").alias("av"), F.col("_n").alias("_an")
+        )
+        b_side = v.select(
+            F.col("id").alias("b_id"), F.col("v").alias("bv"), F.col("_n").alias("_bn")
+        )
         pairs = a_side.join(_maybe_small(b_side), F.col("a_id") < F.col("b_id"))
     scored = pairs.withColumn(
         "cosine",
         F.round(
-            _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))), 4
+            _dot(F.col("av"), F.col("bv")) / (F.col("_an") * F.col("_bn")), 4
         ),
     )
     return scored.filter(F.col("cosine") >= threshold).select("a_id", "b_id", "cosine")
@@ -259,14 +277,20 @@ def lsh_cosine_topk(
         # a pair can collide in several tables; single-table pairs are
         # already unique, so don't pay the dedup shuffle there
         cand = cand.distinct()
-    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    # per-vector norms in the projections (see cosine_topk) — identical
+    # arithmetic, computed once per vector instead of once per pair
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("_qn", _norm(F.col("qv")))
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("_cn", _norm(F.col("cv")))
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4),
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 4),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -338,3 +338,43 @@ def test_star_clusters_keep_self_loop_singletons(spark):
     prop = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     star = {r.id: r.cluster_id for r in duplicate_clusters_star(pairs).collect()}
     assert star == prop == {7: 7, 1: 1, 2: 1}
+
+
+def test_fused_profile_kernel_parity_with_jvm_path(spark):
+    """The r7 fused Arrow profile kernel (tokenize + shingle + md5
+    MinHash family in one mapInArrow pass) must be bit-identical to the
+    JVM projection path it replaces — including the Java-regex
+    whitespace semantics (\\s is the ASCII six, so NBSP/\\x1c must NOT
+    split), first-occurrence shingle order, empty/null/short-text
+    drops, and the (id, [shingles,] sig_*, [n_shingles]) schema."""
+    from latex_ocr_spark.operators.dedup import (
+        doc_shingle_arrays,
+        minhash_signatures,
+    )
+
+    rows = [
+        ("a", "x y z"),  # NBSP is not Java \s
+        ("b", "  leading and trailing  "),
+        ("c", None),
+        ("d", ""),
+        ("e", "one two"),  # ngram=3 over 2 tokens -> dropped
+        ("f", "tab\tsep\nnl\x0bvt\fff\rcr end pad"),
+        ("g", "é café münchen töken four five"),
+        ("h", "a b c a b c a b c"),  # duplicate shingles
+        ("i", "x \x1c y \x1d z w q"),  # \x1c/\x1d not Java \s
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for ngram, k, size, shingles in [(3, 8, True, True), (1, 4, True, False)]:
+        fused = minhash_signatures(
+            docs, k, "text", "doc_id", ngram,
+            include_size=size, include_shingles=shingles,
+        )
+        arrs = doc_shingle_arrays(docs, "text", "doc_id", ngram)
+        jvm = minhash_signatures(
+            docs, k, "text", "doc_id", ngram, _arrs=arrs,
+            include_size=size, include_shingles=shingles,
+        )
+        assert fused.columns == jvm.columns
+        got = {r["id"]: tuple(r) for r in fused.collect()}
+        want = {r["id"]: tuple(r) for r in jvm.collect()}
+        assert got == want and got  # non-vacuous
