@@ -111,12 +111,23 @@ def cosine_dup_pairs(
     ).withColumn("_n", _norm(F.col("v")))
     _maybe_small = F.broadcast if assume_small else (lambda df: df)
     if num_planes:
-        b = hyperplane_buckets(embeddings, num_planes, id_col, vec_col, hash_fn)
-        a_side = v.join(b, "id").select(
+        # the bucket is a pure function of the vector, so compute it in
+        # the same projection as v and the norm — the r7-early shape
+        # attached it back via TWO id-equi-joins against a separate
+        # hyperplane_buckets frame, an exchange (or broadcast build)
+        # per side that carried no information the row didn't already
+        # have (guide §2.4 remove shuffles outright; identical rows —
+        # ids are unique, so join-on-id ≡ compute-in-place)
+        vb = embeddings.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            _bucket_col(F.col(vec_col), num_planes, hash_fn).alias("bucket"),
+        ).withColumn("_n", _norm(F.col("v")))
+        a_side = vb.select(
             F.col("id").alias("a_id"), F.col("v").alias("av"),
             F.col("_n").alias("_an"), "bucket",
         )
-        b_side = v.join(b, "id").select(
+        b_side = vb.select(
             F.col("id").alias("b_id"), F.col("v").alias("bv"),
             F.col("_n").alias("_bn"), "bucket",
         )
