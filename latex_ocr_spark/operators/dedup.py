@@ -286,9 +286,15 @@ def _profile_kernel(
     from hashlib import md5 as _md5
 
     suffixes = [f"#{i}".encode() for i in range(num_hashes)]
-    memo = _PROFILE_MEMO.setdefault(num_hashes, {})
 
     def run(batches):
+        # resolve the memo through the importable module ON THE WORKER:
+        # a closure-captured dict is pickled by value per task and would
+        # reset every task; the module global survives for the lifetime
+        # of a reused python worker process (guide §4.5)
+        from latex_ocr_spark.operators.dedup import _PROFILE_MEMO
+
+        memo = _PROFILE_MEMO.setdefault(num_hashes, {})
         for rb in batches:
             texts = rb.column("__text").to_pylist()
             keep, shingle_sets, sigs = [], [], [[] for _ in range(num_hashes)]
