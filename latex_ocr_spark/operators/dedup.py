@@ -72,7 +72,20 @@ def _with_min_parallelism(df: DataFrame) -> DataFrame:
     explode runs parallel instead of serializing on one core.  Cost:
     one shuffle of the raw (pre-amplification) rows, orders of
     magnitude below the serialized-explode alternative; a strict no-op
-    (zero plan change) whenever the input is already parallel."""
+    (zero plan change) whenever the input is already parallel.
+
+    Known cost of the probe itself (r7, measured): on a frame with an
+    upstream exchange, ``df.rdd`` finalizes the adaptive plan, which
+    executes the upstream shuffle stages as a throwaway job ('
+    javaToPython' in the job list) — for the funnel's profile input
+    that is one extra map pass through the exact-dedup aggregation per
+    run.  A static skip was prototyped and REJECTED: "plan contains
+    Join/Aggregate" does not imply parallel output (a broadcast
+    semi-join's streamed side keeps the scan's possibly-single-split
+    partitioning — exactly the case the guard exists for), and file
+    counts cannot bound split counts under small-file packing.  The
+    probe stays; its cost is one bounded extra pass, never quadratic.
+    """
     if df.isStreaming:  # .rdd is undefined on streaming frames
         return df
     sc = df.sparkSession.sparkContext
